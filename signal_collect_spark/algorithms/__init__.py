@@ -1,0 +1,17 @@
+"""Built-in graph algorithms — the reference's example/conformance
+surface (SURVEY.md §2.2) re-expressed on the superstep engine."""
+
+from signal_collect_spark.algorithms.pagerank import pagerank
+from signal_collect_spark.algorithms.components import connected_components
+from signal_collect_spark.algorithms.sssp import sssp
+from signal_collect_spark.algorithms.labelprop import label_propagation
+from signal_collect_spark.algorithms.triangles import triangle_count, local_clustering_coefficient
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "sssp",
+    "label_propagation",
+    "triangle_count",
+    "local_clustering_coefficient",
+]

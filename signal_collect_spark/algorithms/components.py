@@ -1,0 +1,98 @@
+"""Connected components via min-label propagation.
+
+The reference computes components with signal/collect min-folds (the
+SSSP collect pattern, examples/Sssp.scala:64-69: collect = min(state,
+signal), with the label set ⊂ vertex ids — see also the Chinese
+Whispers clustering example whose deterministic special case this is).
+Each vertex starts with its own id; every superstep it adopts the
+minimum label among itself and its neighbours; converged ⇒ every
+vertex holds the minimum id of its (undirected) component — exact,
+deterministic labels as the north rule requires.
+
+Delta signaling: only vertices whose label improved emit next step
+(residual = 1 iff changed ≙ scoreSignal = 1 iff state ≠
+lastSignalState, AbstractVertex.scala:135-144).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark import graph as G
+from signal_collect_spark.superstep import ExecutionInfo, Kernel, run_supersteps
+
+
+def cc_kernel() -> Kernel:
+    def init(vertices: DataFrame) -> DataFrame:
+        return vertices.select(
+            "id",
+            F.col("id").cast("double").alias("label"),
+            F.lit(1.0).alias("residual"),
+        )
+
+    def collect(joined: DataFrame) -> DataFrame:
+        new_label = F.least(F.col("label"), F.col("inbox"))
+        return joined.select(
+            "id",
+            new_label.alias("label"),
+            F.when(new_label < F.col("label"), F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+                "residual"
+            ),
+        )
+
+    return Kernel(
+        name="connected_components",
+        init=init,
+        value=lambda: F.col("label"),
+        edge_combine="value",
+        agg="min",
+        collect=collect,
+        state_cols=["label", "residual"],
+    )
+
+
+def connected_components(
+    spark,
+    edges: DataFrame,
+    *,
+    directed: bool = False,
+    max_steps: int = 200,
+    mode: str = "sql",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+    **engine_opts,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Returns (DF[id, component], info); component = min vertex id, exact.
+
+    ``directed=False`` (default) symmetrizes edges first — components of
+    the underlying undirected graph (the standard CC definition; pass
+    directed=True for min-label propagation along edge direction only).
+
+    Scale note: plain label propagation needs O(diameter) supersteps.
+    Web-ish link graphs have small diameter so this is the right
+    trade-off at 10^9 edges (each superstep is one co-located join +
+    combined aggregate, and only changed vertices emit — frontier
+    collapses fast). For pathological high-diameter graphs a
+    large-star/small-star variant would bound rounds at O(log n).
+    """
+    e = G.symmetrize(edges) if not directed else edges
+    vertices = G.vertices_from_edges(edges)
+    state, info = run_supersteps(
+        spark,
+        e,
+        vertices,
+        cc_kernel(),
+        signal_threshold=0.0,
+        converge_tol=0.0,
+        max_steps=max_steps,
+        mode=mode,
+        num_partitions=num_partitions,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        **engine_opts,
+    )
+    return state.select("id", F.col("label").cast("long").alias("component")), info

@@ -1,0 +1,112 @@
+"""Label propagation (Chinese-Whispers-style majority labelling).
+
+Reference semantics (examples/ChineseWhispersClustering.scala:31-54):
+state₀ = own id; signal = (source.state, edge.weight) (:52); collect
+groups incoming (label, weight) signals PLUS a self-preference
+(own state, 1.0), sums weight per label and adopts the strongest
+(:35-42). The reference breaks ties by sort order (`sorted.last`,
+order-sensitive); we pin the deterministic rule: max total weight,
+ties → smallest label (documented deviation, FIXTURES.md §C).
+
+Messages are (label, weight) pairs — not a scalar monoid — so this
+drives its own synchronous loop rather than the scalar Kernel. Each
+round is still one co-located join + a two-level aggregate:
+groupBy(id, label).sum(weight) → argmax via a single max(struct)
+aggregate (no window sort, no shuffle beyond the two keyed aggregates;
+both get map-side partial aggregation).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark import graph as G
+from signal_collect_spark.superstep import ExecutionInfo
+
+
+def label_propagation(
+    spark,
+    edges: DataFrame,
+    *,
+    directed: bool = False,
+    max_steps: int = 20,
+    run_to_convergence: bool = True,
+    num_partitions: int | None = None,
+    truncate_every: int = 4,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Returns (DF[id, label], info). Deterministic: synchronous rounds,
+    tie-break = smallest label among max-weight labels.
+
+    ``run_to_convergence=False`` runs exactly ``max_steps`` rounds —
+    the mode used for differential testing against a SQL oracle
+    (synchronous LP can oscillate on bipartite-ish structures, so a
+    fixed round count is the reproducible configuration;
+    ≙ ExecutionConfiguration stepsLimit).
+    """
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    info = ExecutionInfo()
+    t0 = time.monotonic()
+
+    e = G.symmetrize(edges) if not directed else edges
+    e = G.partition_edges(e, P).persist()
+    state = (
+        G.vertices_from_edges(edges)
+        .select("id", F.col("id").alias("label"))
+        .repartition(P, "id")
+        .persist()
+    )
+
+    for step in range(max_steps):
+        ts = time.monotonic()
+        msgs = state.alias("s").join(e.alias("e"), F.col("s.id") == F.col("e.src")).select(
+            F.col("e.dst").alias("vid"), F.col("s.label").alias("label"), F.col("e.weight").alias("weight")
+        )
+        self_pref = state.select(
+            F.col("id").alias("vid"), "label", F.lit(1.0).alias("weight")
+        )
+        scores = (
+            msgs.unionAll(self_pref)
+            .groupBy("vid", "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        # argmax(w), tie -> min(label): one aggregate, no window sort
+        picked = scores.groupBy("vid").agg(
+            F.max(F.struct(F.col("w"), (-F.col("label")).alias("neg_label"))).alias("top")
+        )
+        new_state = picked.select(
+            F.col("vid").alias("id"), (-F.col("top.neg_label")).alias("label")
+        ).repartition(P, "id")
+        if (step + 1) % truncate_every == 0:
+            new_state = new_state.localCheckpoint(eager=False)
+        new_state = new_state.persist()
+
+        if run_to_convergence:
+            changed = (
+                new_state.alias("n")
+                .join(state.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+        else:
+            new_state.count()
+            changed = -1
+        state.unpersist()
+        state = new_state
+        info.supersteps = step + 1
+        info.per_step.append(
+            {
+                "superstep": step + 1,
+                "changed": changed,
+                "wall_ms": (time.monotonic() - ts) * 1000.0,
+            }
+        )
+        if run_to_convergence and changed == 0:
+            info.converged = True
+            break
+
+    e.unpersist()
+    info.wall_seconds = time.monotonic() - t0
+    return state.select("id", "label"), info

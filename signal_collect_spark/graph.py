@@ -1,0 +1,188 @@
+"""Graph construction: vertex/edge tables, degrees, normalization, CSR packing.
+
+The reference keeps a mutable vertex-partitioned property graph in
+worker-local hash maps (storage/VertexMap.scala:35-47) with edges
+attached to their source vertex (AbstractVertex.scala:41) and routes
+signals by hash(id) % numberOfWorkers
+(messaging/DefaultVertexToWorkerMapper.scala:28-35).
+
+Spark-native equivalents:
+  * ``edges``   DataFrame (src: long, dst: long, weight: double),
+    hash-partitioned by src — co-located with the signalling frontier.
+  * ``vertices`` derived as distinct(src) ∪ distinct(dst) — mirrors the
+    auto-create-on-addEdge handler (interfaces/Handlers.scala:52-63).
+  * ``sum_of_out_weights`` per source (≙ SumOfOutWeights.scala:22-48)
+    pre-folded into a ``norm_weight`` column so the per-edge signal of
+    PageRankEdge (examples/PageRank.scala:39: state*weight/sumOfOutWeights)
+    becomes a single multiply at superstep time.
+  * CSR packing per partition (≙ the compact adjacency encodings in
+    util/Ints.scala:44-60 / SplayIntSet) as sorted parallel arrays for
+    the Arrow/numpy SpMV execution mode.
+
+Scale notes (100 TB / 10^9+ edges):
+  * everything here is a single shuffle on src (or dst for in-degrees);
+    no collects, no driver-side loops.
+  * partition count is explicit so the iterative engine re-uses one
+    partitioning across all supersteps (no re-shuffle per iteration).
+  * hub skew: out-degree skew concentrates rows of one src in one task.
+    ``salt_edges`` splits a hub's adjacency across ``n_salts``
+    sub-groups; sum/min aggregation is associative so two-phase
+    aggregation stays exact (the reference has no skew handling at all —
+    its per-worker hash map simply grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def edges_from_pairs(
+    spark: SparkSession, pairs: list[tuple[int, int]] | list[tuple[int, int, float]]
+) -> DataFrame:
+    """Small fixture helper: build an edge DataFrame from (src, dst[, weight])."""
+    rows = [(int(p[0]), int(p[1]), float(p[2]) if len(p) > 2 else 1.0) for p in pairs]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    """vertices = distinct src ∪ distinct dst (id: long).
+
+    Mirrors vertex auto-creation from an edge stream
+    (interfaces/Handlers.scala:52-63 / loading semantics).
+    """
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: e ∪ reverse(e), deduplicated.
+
+    The reference builds undirected graphs by adding both directed edges
+    explicitly (e.g. IntegrationSpec.scala:238-295 grid/torus generators).
+    """
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+    )
+    return edges.unionAll(rev).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree, sum_out_weights) per source vertex.
+
+    sum_out_weights ≙ the SumOfOutWeights vertex mixin
+    (SumOfOutWeights.scala:22-48) maintained incrementally in the
+    reference; here one partial/final aggregate.
+    """
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree"),
+        F.sum("weight").alias("sum_out_weights"),
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+
+
+def normalize_edges(edges: DataFrame) -> DataFrame:
+    """Add ``norm_weight = weight / sum_out_weights(src)``.
+
+    Pre-computes the constant part of the PageRank signal
+    (examples/PageRank.scala:39) so supersteps avoid a per-iteration
+    join against the degree table. One shuffle, done once.
+    """
+    w = out_degrees(edges).select("id", "sum_out_weights")
+    return edges.join(
+        F.broadcast(w) if _is_small(w) else w, edges.src == w.id, "inner"
+    ).select(
+        "src",
+        "dst",
+        "weight",
+        (F.col("weight") / F.col("sum_out_weights")).alias("norm_weight"),
+    )
+
+
+def _is_small(df: DataFrame) -> bool:
+    # conservative: never force-broadcast blind; AQE handles it at runtime.
+    return False
+
+
+def partition_edges(edges: DataFrame, num_partitions: int) -> DataFrame:
+    """Hash-partition edges by src once; the superstep loop reuses this
+    partitioning every iteration (frontier is repartitioned to match),
+    so the signal join is co-located and only the inbox aggregate
+    shuffles. ≙ DefaultVertexToWorkerMapper.scala:28-35.
+    """
+    return edges.repartition(num_partitions, "src")
+
+
+def salt_edges(edges: DataFrame, hub_threshold: int = 100_000, n_salts: int = 16) -> DataFrame:
+    """Split hub sources' adjacency lists across salt buckets.
+
+    Adds a ``salt`` column: 0 for normal vertices; pmod(xxhash64(dst), n)
+    for sources whose out-degree exceeds ``hub_threshold``. The engine's
+    aggregations are associative (sum/min) so correctness is unchanged;
+    at cluster scale this prevents a single task from owning a hub's
+    entire adjacency. (No reference equivalent — reference has no skew
+    handling; required by the north rule.)
+    """
+    deg = out_degrees(edges).select("id", "out_degree")
+    e = edges.join(deg.hint("broadcast"), edges.src == deg.id, "left").drop("id")
+    return e.withColumn(
+        "salt",
+        F.when(
+            F.col("out_degree") > F.lit(hub_threshold),
+            F.pmod(F.xxhash64("dst"), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("out_degree")
+
+
+# ---------------------------------------------------------------------------
+# CSR packing for the Arrow/numpy SpMV execution mode
+# ---------------------------------------------------------------------------
+
+CSR_SCHEMA = (
+    "pid int, srcs array<long>, dsts array<long>, weights array<double>"
+)
+
+
+def csr_pack(edges: DataFrame, num_partitions: int, weight_col: str = "weight") -> DataFrame:
+    """Pack edges into one CSR-ish row per hash partition.
+
+    ≙ the reference's compact adjacency encodings (varint int sets,
+    util/Ints.scala:44-60; byte-array adjacency,
+    examples/EfficientSssp.scala:106-110) — here: per-partition sorted
+    parallel arrays (srcs, dsts, weights) consumed by a vectorized
+    numpy gather-scatter kernel inside applyInPandas.
+
+    pid = pmod(xxhash64(src), P) — the same function the engine applies
+    to the frontier so cogroup lines up without an extra shuffle key.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import kept local
+
+    pid = F.pmod(F.xxhash64(F.col("src")), F.lit(num_partitions)).cast("int")
+
+    def _pack(pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pdf["dst"].to_numpy(dtype=np.int64), src))
+        return pd.DataFrame(
+            {
+                "pid": [int(pdf["pid"].iloc[0])],
+                "srcs": [src[order]],
+                "dsts": [pdf["dst"].to_numpy(dtype=np.int64)[order]],
+                "weights": [pdf[weight_col].to_numpy(dtype=np.float64)[order]],
+            }
+        )
+
+    cols = edges.select("src", "dst", F.col(weight_col).alias(weight_col), pid.alias("pid"))
+    return cols.groupBy("pid").applyInPandas(_pack, CSR_SCHEMA)
+
+
+def frontier_pid(id_col, num_partitions: int):
+    """Partition-id expression matching :func:`csr_pack`."""
+    return F.pmod(F.xxhash64(id_col), F.lit(num_partitions)).cast("int")

@@ -1,0 +1,313 @@
+"""The engine: bounded synchronous supersteps over DataFrames.
+
+Reproduces Signal/Collect's synchronous execution loop
+(DefaultGraph.scala:297-343): signalStep → barrier → collectStep,
+repeated until convergence or a steps/time limit
+(ExecutionConfiguration.scala:86-97, enforced DefaultGraph.scala:311,340-342).
+
+Mapping (SURVEY.md §2.1/§3):
+  * signalStep (WorkerImplementation.scala:285-291)
+      = ``frontier ⋈ edges`` producing a signal per out-edge
+        (DefaultEdge.scala:70-72); frontier = rows with
+        ``residual > signal_threshold`` — the reference's score-guided
+        scheduling, strict > (WorkerImplementation.scala:213-215).
+  * message combining / bulk messaging (IntIdDoubleSignalMessageBus.scala:31-56,
+    BulkMessageBus.scala:84-145)
+      = Catalyst's partial (map-side) HashAggregate in ``groupBy(dst).agg``.
+  * collectStep (WorkerImplementation.scala:293-297)
+      = left join of state with the aggregated inbox + the kernel's
+        collect expressions (DataGraphVertex.scala:84-87 /
+        DataFlowVertex.scala:51-54).
+  * convergence = aggregated residual check, mirroring the per-vertex
+    ``scoreSignal > θ`` gate plus GlobalTerminationDetection
+    (ExecutionConfiguration.scala:156-159).
+  * snapshot/restore (WorkerImplementation.scala:457-510, Graph.scala:211-228)
+      = parquet checkpoints every k supersteps with per-partition
+        lineage + metrics; exact resume (checkpoint.py).
+
+Two physical modes, identical semantics (tests assert equality):
+  * mode="sql"  — pure DataFrame ops: JVM-side, whole-stage codegen,
+    partial aggregation; the default and the fast path.
+  * mode="csr"  — CSR-packed edge partitions + vectorized numpy
+    gather-scatter inside ``cogroup().applyInPandas`` (the north star's
+    "SpMV-style pass ... over CSR-packed edge partitions"). Useful when
+    the per-edge kernel is not expressible as a column expression.
+
+Scale design (1000-executor / 10^9-edge):
+  * edges are partitioned ONCE by src and persisted; every superstep's
+    signal join reuses that partitioning — per-iteration shuffle is only
+    the inbox aggregate (combined map-side first).
+  * state is persisted per superstep and lineage is truncated every
+    ``truncate_every`` steps (localCheckpoint) or durably every
+    ``checkpoint_every`` (parquet) — without this, iterative plans grow
+    superlinearly.
+  * one driver action per superstep computes (max residual, frontier
+    size, Σ state) in a single aggregate — the convergence barrier.
+    Spark's job boundary IS the BSP barrier; no idle-detection protocol
+    (DefaultCoordinator.scala:255-304) is needed.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark import graph as G
+from signal_collect_spark.checkpoint import CheckpointManager
+
+
+@dataclass
+class Kernel:
+    """A vertex-centric algorithm spec — the Spark analogue of the
+    reference's user-supplied Vertex/Edge subclasses (its UDF surface,
+    SURVEY.md §2.5: collect DataGraphVertex.scala:57, signal
+    DefaultEdge.scala:56, scoreSignal Vertex.scala:101-109).
+
+    The signal a frontier vertex sends along an edge is
+    ``combine(value(vertex), edge.weight)`` and the inbox is the
+    ``agg`` of all signals addressed to one target — this scalar
+    (value, combine, agg) form covers every sum/min-monoid algorithm
+    (PageRank, SSSP, CC, company valuation, ...). Non-scalar
+    algorithms (label propagation) drive :func:`run_supersteps` with
+    custom_messages instead.
+    """
+
+    name: str
+    #: init(vertices DF[id]) -> state DF with at least (id, residual) columns
+    init: Callable[[DataFrame], DataFrame]
+    #: column expression over state columns: the scalar a frontier vertex emits
+    value: Callable[[], Column]
+    #: how the emitted value combines with edge weight: "mul" | "add" | "value"
+    edge_combine: str = "mul"
+    #: inbox aggregation: "sum" | "min" | "max"
+    agg: str = "sum"
+    #: collect(state-with-inbox DF) -> new state DF (inbox column: `inbox`,
+    #: NULL where no signals arrived; `was_frontier` boolean column provided)
+    collect: Callable[[DataFrame], DataFrame] = None  # type: ignore[assignment]
+    #: which edge weight column feeds `combine` ("weight" or "norm_weight")
+    weight_col: str = "weight"
+    state_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ExecutionInfo:
+    """≙ ExecutionInformation (ExecutionInformation.scala:42-79)."""
+
+    supersteps: int = 0
+    converged: bool = False
+    wall_seconds: float = 0.0
+    edges_signaled: int = 0
+    per_step: list[dict] = field(default_factory=list)
+
+
+def _combine_expr(kind: str, value_col: str, weight_col: str) -> Column:
+    if kind == "mul":
+        return F.col(value_col) * F.col(weight_col)
+    if kind == "add":
+        return F.col(value_col) + F.col(weight_col)
+    if kind == "value":
+        return F.col(value_col)
+    raise ValueError(f"unknown edge_combine {kind!r}")
+
+
+_AGGS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def run_supersteps(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    kernel: Kernel,
+    *,
+    signal_threshold: float = 0.0,
+    converge_tol: float = 1e-9,
+    max_steps: int = 100,
+    mode: str = "sql",
+    num_partitions: int | None = None,
+    truncate_every: int = 4,
+    check_every: int = 1,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Run the bounded synchronous superstep loop to convergence.
+
+    Returns (final state DataFrame, ExecutionInfo). The frontier gate is
+    strict ``residual > signal_threshold`` exactly like the reference
+    (WorkerImplementation.scala:213); global stop is
+    ``max(residual) <= converge_tol`` — the aggregated-residual
+    re-expression of per-vertex score thresholds.
+    """
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    info = ExecutionInfo()
+    t0 = time.monotonic()
+
+    edges_p = G.partition_edges(edges, P).persist()
+    csr = None
+    if mode == "csr":
+        csr = G.csr_pack(edges_p, P, weight_col=kernel.weight_col).persist()
+        csr.count()
+
+    ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+    start_step = 0
+    state = None
+    if resume and ckpt is not None:
+        restored = ckpt.restore()
+        if restored is not None:
+            state, start_step = restored
+    if state is None:
+        state = kernel.init(vertices).repartition(P, "id")
+    state = state.persist()
+
+    agg_fn = _AGGS[kernel.agg]
+    pending: list[DataFrame] = []
+
+    for step in range(start_step, max_steps):
+        ts = time.monotonic()
+        frontier = state.filter(F.col("residual") > F.lit(signal_threshold)).select(
+            F.col("id"), kernel.value().alias("value")
+        )
+
+        if mode == "csr":
+            inbox = _csr_signal(frontier, csr, P, kernel, agg_fn)
+        else:
+            f, e = frontier.alias("f"), edges_p.alias("e")
+            sig = f.join(e, F.col("f.id") == F.col("e.src")).select(
+                F.col("e.dst").alias("dst"),
+                _combine_expr(kernel.edge_combine, "f.value", f"e.{kernel.weight_col}").alias("m"),
+            )
+            # groupBy(dst) = message combining: Catalyst plans a partial
+            # (map-side) HashAggregate before the shuffle — the analogue of
+            # IntIdDoubleSignalMessageBus's per-target combining.
+            inbox = sig.groupBy("dst").agg(agg_fn("m").alias("inbox"))
+
+        inbox = inbox.select(F.col("dst").alias("__inbox_id"), "inbox")
+        joined = state.alias("s").join(
+            inbox.alias("i"), F.col("s.id") == F.col("i.__inbox_id"), "left"
+        ).drop("__inbox_id")
+        joined = joined.withColumn(
+            "was_frontier", F.col("residual") > F.lit(signal_threshold)
+        )
+        # the state/inbox join is co-partitioned with state's hash
+        # partitioning on id, so new_state keeps it — no repartition here
+        # (a forced exchange per superstep would double the shuffle volume)
+        new_state = kernel.collect(joined)
+
+        durable = ckpt is not None and (step + 1) % checkpoint_every == 0
+        checking = durable or (step + 1) % check_every == 0 or step + 1 == max_steps
+        if durable:
+            new_state = ckpt.save(new_state, superstep=step + 1)
+        elif (step + 1) % truncate_every == 0:
+            new_state = new_state.localCheckpoint(eager=False)
+        # every superstep's state is persisted: each is referenced twice
+        # by the next superstep (frontier + collect join) — without a
+        # cache the lazily-chained plan recomputes it exponentially
+        new_state = new_state.persist()
+        pending.append(state)
+        state = new_state
+        if not checking:
+            # chain supersteps lazily; the convergence barrier (a Spark
+            # action) is amortized over check_every supersteps
+            info.supersteps = step + 1
+            continue
+
+        # single action per barrier: convergence + metrics
+        m = state.agg(
+            F.max("residual").alias("max_res"),
+            F.sum((F.col("residual") > F.lit(signal_threshold)).cast("long")).alias(
+                "frontier"
+            ),
+            F.count("*").alias("n"),
+        ).first()
+        for df in pending:
+            df.unpersist()
+        pending.clear()
+        info.supersteps = step + 1
+        info.per_step.append(
+            {
+                "superstep": step + 1,
+                "max_residual": m["max_res"],
+                "frontier_size": m["frontier"],
+                "vertices": m["n"],
+                "wall_ms": (time.monotonic() - ts) * 1000.0,
+                "checkpointed": durable,
+            }
+        )
+        if m["max_res"] is None or m["max_res"] <= converge_tol:
+            info.converged = True
+            break
+
+    edges_p.unpersist()
+    if csr is not None:
+        csr.unpersist()
+    info.wall_seconds = time.monotonic() - t0
+    return state, info
+
+
+def _csr_signal(frontier: DataFrame, csr: DataFrame, P: int, kernel: Kernel, agg_fn):
+    """One signal step through the CSR/numpy path.
+
+    cogroup(frontier by pid, csr by pid) → vectorized gather-scatter:
+    searchsorted locates each frontier vertex's adjacency slice; the
+    per-edge combine and the partition-local pre-aggregation are pure
+    numpy (the partition-local aggregate mirrors the reference's bulk
+    bus combining); the final cross-partition aggregate is one small
+    shuffle on dst.
+    """
+    combine = kernel.edge_combine
+    agg_kind = kernel.agg
+
+    def _spmv(left, right):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"dst": np.empty(0, np.int64), "m": np.empty(0, np.float64)})
+        srcs = np.asarray(right["srcs"].iloc[0], dtype=np.int64)
+        dsts = np.asarray(right["dsts"].iloc[0], dtype=np.int64)
+        wts = np.asarray(right["weights"].iloc[0], dtype=np.float64)
+        fid = left["id"].to_numpy(dtype=np.int64)
+        fval = left["value"].to_numpy(dtype=np.float64)
+        lo = np.searchsorted(srcs, fid, side="left")
+        hi = np.searchsorted(srcs, fid, side="right")
+        counts = hi - lo
+        keep = counts > 0
+        lo, counts, fval = lo[keep], counts[keep], fval[keep]
+        if len(lo) == 0:
+            return pd.DataFrame({"dst": np.empty(0, np.int64), "m": np.empty(0, np.float64)})
+        # gather: flat index vector covering every out-edge of the frontier
+        idx = np.repeat(lo, counts) + (
+            np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        val = np.repeat(fval, counts)
+        if combine == "mul":
+            m = val * wts[idx]
+        elif combine == "add":
+            m = val + wts[idx]
+        else:
+            m = val
+        tgt = dsts[idx]
+        # partition-local combine (≙ bulk-bus per-target aggregation)
+        uniq, inv = np.unique(tgt, return_inverse=True)
+        if agg_kind == "sum":
+            out = np.zeros(len(uniq), np.float64)
+            np.add.at(out, inv, m)
+        elif agg_kind == "min":
+            out = np.full(len(uniq), np.inf)
+            np.minimum.at(out, inv, m)
+        else:
+            out = np.full(len(uniq), -np.inf)
+            np.maximum.at(out, inv, m)
+        return pd.DataFrame({"dst": uniq, "m": out})
+
+    f = frontier.withColumn("pid", G.frontier_pid(F.col("id"), P))
+    partial = (
+        f.groupBy("pid")
+        .cogroup(csr.groupBy("pid"))
+        .applyInPandas(_spmv, "dst long, m double")
+    )
+    return partial.groupBy("dst").agg(agg_fn("m").alias("inbox"))
