@@ -1,0 +1,101 @@
+"""Graph aggregation operators — the reference's "query" surface.
+
+com.signalcollect runs aggregations as per-worker partial folds merged
+on the coordinator (Graph.scala:157 → WorkerImplementation.scala:443-445
+→ AggregationOperation.scala:39-46) — exactly Spark's partial/final
+HashAggregate, so each operator below is a thin, codegen-friendly
+DataFrame expression (SURVEY.md §2.3 maps every reference operator).
+
+``state_df`` is any algorithm's output: (id, <state column>, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sum_of_states(state_df: DataFrame, state_col: str = "state") -> float:
+    """≙ SumOfStates (AggregationOperations.scala:66-75)."""
+    return state_df.agg(F.sum(state_col).alias("s")).first()["s"]
+
+
+def product_of_states(state_df: DataFrame, state_col: str = "state") -> float:
+    """≙ ProductOfStates (AggregationOperations.scala:80-89).
+    exp(Σ log|x|) with sign tracking — associative, partial-aggregatable
+    (a naive fold would not distribute)."""
+    row = state_df.agg(
+        F.sum(F.log(F.abs(F.col(state_col)))).alias("logsum"),
+        F.sum((F.col(state_col) < 0).cast("long")).alias("negs"),
+        F.sum((F.col(state_col) == 0).cast("long")).alias("zeros"),
+    ).first()
+    if row["zeros"]:
+        return 0.0
+    import math
+
+    sign = -1.0 if row["negs"] % 2 else 1.0
+    return sign * math.exp(row["logsum"])
+
+
+def count_vertices(state_df: DataFrame, predicate=None) -> int:
+    """≙ CountVertices (AggregationOperations.scala:113-132)."""
+    df = state_df.filter(predicate) if predicate is not None else state_df
+    return df.count()
+
+
+def id_state_map(state_df: DataFrame, state_col: str = "state") -> dict:
+    """≙ IdStateMapAggregator (AggregationOperations.scala:55-61).
+    Driver-side by definition — use only on small/filtered states."""
+    return {r["id"]: r[state_col] for r in state_df.select("id", state_col).collect()}
+
+
+def sample_vertex_ids(state_df: DataFrame, n: int) -> list:
+    """≙ SampleVertexIds (AggregationOperations.scala:94-106)."""
+    return [r["id"] for r in state_df.select("id").limit(n).collect()]
+
+
+def top_k_states(state_df: DataFrame, k: int, state_col: str = "state") -> DataFrame:
+    """≙ TopKFinder (AggregationOperations.scala:193-236): per-worker
+    top-k then merged — Spark's TakeOrderedAndProject is the same
+    partial top-k. Deterministic tie-break on id."""
+    return state_df.orderBy(F.desc(state_col), F.asc("id")).limit(k)
+
+
+def top_degree(edges: DataFrame, n: int) -> DataFrame:
+    """≙ TopDegreeAggregator (console/AggregationOperation.scala:153-177):
+    out-degree, descending, deterministic tie-break on id."""
+    return (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("id"))
+        .limit(n)
+    )
+
+
+def above_threshold(state_df: DataFrame, threshold: float, col: str = "residual") -> DataFrame:
+    """≙ AboveThresholdAggregator (console/AggregationOperation.scala:219-251)."""
+    return state_df.filter(F.col(col) > F.lit(threshold))
+
+
+def find_vertices_by_ids(state_df: DataFrame, ids: list) -> DataFrame:
+    """≙ FindVerticesByIdsAggregator (console/AggregationOperation.scala:283-311)."""
+    return state_df.filter(F.col("id").isin(ids))
+
+
+def find_vertices_by_substring(nodes: DataFrame, needle: str, col: str = "path") -> DataFrame:
+    """≙ FindVerticesBySubstringAggregator (console/AggregationOperation.scala:313-336)."""
+    return nodes.filter(F.col(col).contains(needle))
+
+
+def vertex_vicinities(edges: DataFrame, ids: list) -> DataFrame:
+    """1-hop neighbourhood of an id set (union of in- and out-neighbours)
+    ≙ FindVertexVicinitiesByIdsAggregator
+    (console/AggregationOperation.scala:253-281)."""
+    out_n = edges.filter(F.col("src").isin(ids)).select(F.col("dst").alias("id"))
+    in_n = edges.filter(F.col("dst").isin(ids)).select(F.col("src").alias("id"))
+    return out_n.unionAll(in_n).distinct()
+
+
+def map_reduce(state_df: DataFrame, map_expr, agg_expr):
+    """≙ Graph.mapReduce (Graph.scala:168-188): df.select(map).agg(reduce)."""
+    return state_df.select(map_expr.alias("v")).agg(agg_expr(F.col("v")).alias("r")).first()["r"]
