@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Graph queries run the signal_collect_spark engine over two link graphs
+derived deterministically from the lineitem table (so DuckDB can build
+the identical graph):
+
+  * dense graph  — (l_orderkey % 500)  → (l_partkey % 500), all rows
+  * sparse graph — (l_orderkey % 5000) → (l_partkey % 5000), line 1 only
+    (4 undirected components at sf0.01 — exercises CC non-trivially)
+
+Float outputs are rounded to 6 dp on BOTH sides; orderings that feed a
+top-k are computed on the ROUNDED value with id tie-breaks so both
+engines select identical rows.
 """
 
 from __future__ import annotations
@@ -12,27 +23,523 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from signal_collect_spark import aggregations as AGG
+from signal_collect_spark.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp,
+)
+from signal_collect_spark.algorithms.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+    triangle_triples,
+)
+from signal_collect_spark.data import dedup as D
+from signal_collect_spark.data import similarity as S
+from signal_collect_spark.data import textstats as TS
+
+DENSE_MOD = 500
+SPARSE_MOD = 5000
+PR_STEPS = 20
+LP_ROUNDS = 4
+BFS_ROUNDS = 8
+BF_ROUNDS = 6  # weighted Bellman-Ford rounds
+
+ENGINE_OPTS = {"check_every": 5, "num_partitions": None}
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dense_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    return (
+        li.select(
+            (F.col("l_orderkey") % DENSE_MOD).alias("src"),
+            (F.col("l_partkey") % DENSE_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    return (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            (F.col("l_orderkey") % SPARSE_MOD).alias("src"),
+            (F.col("l_partkey") % SPARSE_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "weight",
+            ((F.col("src") + F.col("dst")) % 5 + 1).cast("double"),
+        )
+    )
+
+
+# SQL fragments mirroring the edge builders exactly
+_DENSE_SQL = f"""
+dedges AS (
+  SELECT DISTINCT l_orderkey % {DENSE_MOD} AS src, l_partkey % {DENSE_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {DENSE_MOD} <> l_partkey % {DENSE_MOD}),
+dverts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+ddeg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY src)
+"""
+
+_SPARSE_SQL = f"""
+sedges AS (
+  SELECT DISTINCT l_orderkey % {SPARSE_MOD} AS src, l_partkey % {SPARSE_MOD} AS dst,
+         CAST((l_orderkey % {SPARSE_MOD} + l_partkey % {SPARSE_MOD}) % 5 + 1 AS DOUBLE) AS weight
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % {SPARSE_MOD} <> l_partkey % {SPARSE_MOD}),
+suedges AS (SELECT src, dst, weight FROM sedges UNION SELECT dst, src, weight FROM sedges),
+sverts AS (SELECT src AS id FROM sedges UNION SELECT dst FROM sedges)
+"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled Jacobi iteration — the literal PageRankVertex formula
+    (reference examples/PageRank.scala:39,57): r₀=0.15,
+    r_k = 0.15 + 0.85·Σ_in r_{k-1}(u)/outdeg(u). The engine's delta
+    formulation follows the identical trajectory (Neumann series)."""
+    ctes = [f"WITH {_DENSE_SQL.strip()},", "pr0 AS (SELECT id, 0.15 AS rank FROM dverts)"]
+    for k in range(1, PR_STEPS + 1):
+        ctes.append(
+            f""",pr{k} AS (
+  SELECT v.id AS id, 0.15 + 0.85 * COALESCE(s.acc, 0.0) AS rank
+  FROM dverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank / d.outdeg) AS acc
+    FROM dedges e JOIN pr{k - 1} p ON p.id = e.src JOIN ddeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS}"
+
+
+def _cc_sql() -> str:
+    return f"""WITH RECURSIVE {_SPARSE_SQL.strip()},
+reach(id, r) AS (
+  SELECT id, id FROM sverts
+  UNION
+  SELECT u.src, x.r FROM reach x JOIN suedges u ON u.dst = x.id)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id"""
+
+
+def _lp_sql() -> str:
+    ctes = [f"WITH {_SPARSE_SQL.strip()},", "lp0 AS (SELECT id, id AS label FROM sverts)"]
+    for k in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f""",lp{k} AS (
+  SELECT id, label FROM (
+    SELECT vid AS id, label,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY w DESC, label ASC) AS rn
+    FROM (
+      SELECT vid, label, SUM(wt) AS w FROM (
+        SELECT u.dst AS vid, p.label AS label, u.weight AS wt
+        FROM suedges u JOIN lp{k - 1} p ON p.id = u.src
+        UNION ALL
+        SELECT id AS vid, label, 1.0 AS wt FROM lp{k - 1}
+      ) GROUP BY vid, label
+    )
+  ) WHERE rn = 1)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, label FROM lp{LP_ROUNDS}"
+
+
+def _bfs_sql() -> str:
+    """Unrolled BFS (hop distances) from the minimum vertex id."""
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "d0 AS (SELECT MIN(id) AS id, 0 AS dist FROM sverts)",
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f""",d{k} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + 1 AS dist FROM d{k - 1} p JOIN suedges e ON e.src = p.id
+  ) GROUP BY id)"""
+        )
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d{BFS_ROUNDS}"
+    )
+
+
+def _bf_sql() -> str:
+    """Unrolled Bellman-Ford over the DIRECTED weighted sparse graph."""
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "w0 AS (SELECT MIN(id) AS id, 0.0 AS dist FROM sverts)",
+    ]
+    for k in range(1, BF_ROUNDS + 1):
+        ctes.append(
+            f""",w{k} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM w{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + e.weight AS dist FROM w{k - 1} p JOIN sedges e ON e.src = p.id
+  ) GROUP BY id)"""
+        )
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM w{BF_ROUNDS}"
+    )
+
+
+_SHINGLE_SQL = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tri AS (
+  SELECT doc_id, toks[i.i+1] || ' ' || toks[i.i+2] || ' ' || toks[i.i+3] AS shingle
+  FROM tok, LATERAL (SELECT unnest(range(len(toks)-2)) AS i) i
+  WHERE len(toks) >= 3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pagerank(mode: str = "sql"):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = dense_edges(spark, sf_dir)
+        state, _ = pagerank(
+            spark,
+            edges,
+            signal_threshold=0.0,
+            converge_tol=0.0,
+            max_steps=PR_STEPS,
+            mode=mode,
+            check_every=5,
+        )
+        return state.select("id", F.round("rank", 6).alias("rank"))
+
+    return q
+
+
+def _q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = _q_pagerank()(spark, sf_dir)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(10)
+
+
+def _q_cc(mode: str = "sql"):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = sparse_edges(spark, sf_dir)
+        state, _ = connected_components(spark, edges, mode=mode, max_steps=60, check_every=5)
+        return state.select("id", "component")
+
+    return q
+
+
+def _q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = sparse_edges(spark, sf_dir)
+    state, _ = label_propagation(
+        spark, edges, max_steps=LP_ROUNDS, run_to_convergence=False
+    )
+    return state.select("id", "label")
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = sparse_edges(spark, sf_dir)
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().withColumn("weight", F.lit(1.0))
+    source = und.agg(F.min(F.least("src", "dst"))).first()[0]
+    state, _ = sssp(spark, und, int(source), max_steps=BFS_ROUNDS, check_every=4)
+    return state.filter(F.col("dist").isNotNull()).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = sparse_edges(spark, sf_dir)
+    source = edges.agg(F.min(F.least("src", "dst"))).first()[0]
+    state, _ = sssp(spark, edges, int(source), max_steps=BF_ROUNDS, check_every=3)
+    return state.filter(F.col("dist").isNotNull()).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dense_edges(spark, sf_dir)
+    return triangle_triples(edges).agg(F.count("*").alias("n_triangles"))
+
+
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dense_edges(spark, sf_dir)
+    return local_clustering_coefficient(spark, edges).select(
+        "id",
+        "tri_count",
+        "degree",
+        F.round("local_coeff", 6).alias("local_coeff"),
+    )
+
+
+def _q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.top_degree(dense_edges(spark, sf_dir), 20)
+
+
+def _q_sum_of_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = _q_pagerank()(spark, sf_dir)
+    return ranks.agg(F.round(F.sum("rank"), 4).alias("sum_rank"))
+
+
+def _q_vertex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dense_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    n_v, n_e = verts.count(), edges.count()
+    return spark.createDataFrame(
+        [(n_v, n_e, round(n_e / n_v, 6))], "n_vertices long, n_edges long, avg_out_degree double"
+    )
+
+
+def _q_vicinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return AGG.vertex_vicinities(dense_edges(spark, sf_dir), [0])
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = D.word_shingles(_docs(spark, sf_dir), n=3)
+    return sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+
+
+def _q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.0)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(50)
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = TS.token_stats(_docs(spark, sf_dir))
+    return t.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = TS.quality_score(_docs(spark, sf_dir))
+    return q.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(_docs(spark, sf_dir)).select(
+        "id", "pred_lang", F.round("confidence", 6).alias("confidence")
+    )
+
+
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    scored = S.cosine_scores(emb, q)
+    # rank on the ROUNDED cosine so both engines select identical rows
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return emb.select(F.col("vec_id").alias("id"), F.round(norm, 6).alias("l2_norm"))
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=64, bands=16)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.doc_fingerprint(_docs(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the dense link graph at sf0.001."""
+    return _q_pagerank()(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pagerank": _q_pagerank(),
+        "pagerank_csr": _q_pagerank(mode="csr"),
+        "pagerank_topk": _q_pagerank_topk,
+        "connected_components": _q_cc(),
+        "connected_components_csr": _q_cc(mode="csr"),
+        "label_propagation": _q_lp,
+        "sssp_hops": _q_bfs,
+        "sssp_weighted": _q_sssp_weighted,
+        "triangle_count": _q_triangle_count,
+        "clustering_coefficient": _q_clustering_coeff,
+        "degree_topk": _q_degree_topk,
+        "sum_of_ranks": _q_sum_of_ranks,
+        "vertex_stats": _q_vertex_stats,
+        "vicinity": _q_vicinity,
+        "exact_dedup": _q_exact_dedup,
+        "doc_shingles": _q_doc_shingles,
+        "neardup_jaccard": _q_neardup_jaccard,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "ann_cosine_topk": _q_ann,
+        "embedding_norms": _q_embedding_norms,
+        # rows-only checks (hash functions not reproducible in ANSI SQL)
+        "minhash_lsh_candidates": _q_minhash,
+        "simhash_signatures": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pr = _pagerank_sql()
+    stop_en = "'" + "','".join(TS.STOPWORDS["en"]) + "'"
+    lang_exprs = []
+    for lg, sws in TS.STOPWORDS.items():
+        lst = "'" + "','".join(sws) + "'"
+        lang_exprs.append(
+            f"len(list_filter(string_split(text,' '), t -> t IN ({lst})))::DOUBLE / len(string_split(text,' ')) AS s_{lg}"
+        )
+    langs = list(TS.STOPWORDS)
+    pred_case = "CASE "
+    for lg in langs:
+        pred_case += f"WHEN best > 0 AND s_{lg} = best THEN '{lg}' "
+    pred_case += "ELSE 'und' END"
+
+    return {
+        "pagerank": pr,
+        "pagerank_csr": pr,
+        "pagerank_topk": pr.replace(
+            f"SELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS}",
+            f"SELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS} ORDER BY rank DESC, id ASC LIMIT 10",
+        ),
+        "connected_components": _cc_sql(),
+        "connected_components_csr": _cc_sql(),
+        "label_propagation": _lp_sql(),
+        "sssp_hops": _bfs_sql(),
+        "sssp_weighted": _bf_sql(),
+        "triangle_count": f"""WITH {_DENSE_SQL.strip()},
+und AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM dedges)
+SELECT count(*) AS n_triangles
+FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "clustering_coefficient": f"""WITH {_DENSE_SQL.strip()},
+und AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM dedges),
+tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per AS (SELECT id, count(*) AS tri_count FROM (
+          SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        GROUP BY id),
+deg AS (SELECT id, count(*) AS degree FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)
+SELECT v.id AS id, COALESCE(p.tri_count, 0) AS tri_count, COALESCE(d.degree, 0) AS degree,
+       CASE WHEN d.degree > 1 THEN ROUND(2.0 * COALESCE(p.tri_count,0) / (d.degree * (d.degree - 1)), 6) END AS local_coeff
+FROM dverts v LEFT JOIN per p ON p.id = v.id LEFT JOIN deg d ON d.id = v.id""",
+        "degree_topk": f"""WITH {_DENSE_SQL.strip()}
+SELECT src AS id, count(*) AS degree FROM dedges GROUP BY src
+ORDER BY degree DESC, id ASC LIMIT 20""",
+        "sum_of_ranks": pr.replace(
+            f"SELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS}",
+            f"SELECT ROUND(SUM(ROUND(rank, 6)), 4) AS sum_rank FROM pr{PR_STEPS}",
+        ),
+        "vertex_stats": f"""WITH {_DENSE_SQL.strip()}
+SELECT (SELECT count(*) FROM dverts) AS n_vertices,
+       (SELECT count(*) FROM dedges) AS n_edges,
+       ROUND((SELECT count(*) FROM dedges)::DOUBLE / (SELECT count(*) FROM dverts), 6) AS avg_out_degree""",
+        "vicinity": f"""WITH {_DENSE_SQL.strip()}
+SELECT dst AS id FROM dedges WHERE src = 0
+UNION
+SELECT src AS id FROM dedges WHERE dst = 0""",
+        "exact_dedup": """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text""",
+        "doc_shingles": f"""WITH {_SHINGLE_SQL.strip()}
+SELECT doc_id AS id, COUNT(DISTINCT shingle) AS n_shingles FROM tri GROUP BY doc_id""",
+        "neardup_jaccard": f"""WITH {_SHINGLE_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 50""",
+        "token_stats": """SELECT doc_id AS id,
+  len(string_split(text, ' '))::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  ROUND(list_sum(list_transform(string_split(text,' '), t -> length(t)))::DOUBLE
+        / len(string_split(text,' ')), 6) AS avg_token_len
+FROM documents""",
+        "quality_score": f"""SELECT doc_id AS id,
+  len(string_split(text,' '))::BIGINT AS n_tokens,
+  ROUND(len(list_filter(string_split(text,' '), t -> t IN ({stop_en})))::DOUBLE
+        / len(string_split(text,' ')), 6) AS stop_ratio,
+  ROUND(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+        / GREATEST(length(text), 1), 6) AS punct_ratio,
+  ROUND(LEAST(len(string_split(text,' ')) / 100.0, 1.0)
+        * (0.5 + len(list_filter(string_split(text,' '), t -> t IN ({stop_en})))::DOUBLE
+               / len(string_split(text,' ')))
+        * (1.0 - length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+               / GREATEST(length(text), 1)), 6) AS score
+FROM documents""",
+        "lang_id": f"""WITH s AS (
+  SELECT doc_id AS id, {', '.join(lang_exprs)} FROM documents),
+m AS (SELECT id, {', '.join('s_' + lg for lg in langs)},
+        GREATEST({', '.join('s_' + lg for lg in langs)}) AS best FROM s)
+SELECT id, {pred_case} AS pred_lang, ROUND(best, 6) AS confidence FROM m""",
+        "ann_cosine_topk": """WITH
+fc AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+fq AS (SELECT * FROM fc WHERE nid < 10),
+nrm AS (SELECT nid, SQRT(SUM(v*v)) AS n FROM fc GROUP BY nid),
+dots AS (SELECT fq.nid AS query_id, fc.nid AS neighbor_id, SUM(fq.v * fc.v) AS dot
+         FROM fq JOIN fc ON fc.i = fq.i AND fc.nid <> fq.nid
+         GROUP BY fq.nid, fc.nid),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(dot / (nq.n * nc.n), 6) AS cos
+           FROM dots JOIN nrm nq ON nq.nid = query_id JOIN nrm nc ON nc.nid = neighbor_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5""",
+        "embedding_norms": """SELECT vec_id AS id,
+  ROUND(SQRT(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE))), 6) AS l2_norm
+FROM embeddings""",
+    }

@@ -1,0 +1,162 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The flagship metric mirrors BASELINE.json: PageRank supersteps/sec and
+edges/sec to 1e-6-equivalent convergence on a link graph derived from
+lineitem (~|E| = 0.6M at sf0.1), plus CC/LP/triangles and the
+training-data operators. Extra keys (pagerank_supersteps,
+pagerank_edges_per_sec, ...) ride alongside the required schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_MOD = 100_000
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_graph(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % BENCH_MOD).alias("src"),
+            (F.col("l_partkey") % BENCH_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return edges
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from signal_collect_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
+    from pyspark.sql import functions as F
+
+    from signal_collect_spark.algorithms import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from signal_collect_spark.codegraph import code_link_graph
+    from signal_collect_spark.data import dedup as D
+    from signal_collect_spark.data import similarity as S
+    from signal_collect_spark.data import textstats as TS
+    from signal_collect_spark.fixtures import make_source_files
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    edges = bench_graph(spark, sf_dir).persist()
+    n_edges = edges.count()
+    extra["graph_edges"] = n_edges
+    log(f"bench graph: {n_edges} edges")
+
+    # --- flagship: PageRank to 1e-6-equivalent convergence -----------------
+    t0 = time.monotonic()
+    state, info = pagerank(
+        spark, edges, signal_threshold=1e-9, converge_tol=1e-6,
+        max_steps=200, check_every=5, truncate_every=5,
+    )
+    queries["pagerank"] = time.monotonic() - t0
+    extra["pagerank_supersteps"] = info.supersteps
+    extra["pagerank_converged"] = info.converged
+    extra["pagerank_supersteps_per_sec"] = round(info.supersteps / queries["pagerank"], 3)
+    extra["pagerank_edges_per_sec"] = round(n_edges * info.supersteps / queries["pagerank"], 1)
+    log(f"pagerank: {info.supersteps} supersteps in {queries['pagerank']:.1f}s")
+
+    # --- connected components ----------------------------------------------
+    t0 = time.monotonic()
+    comp, cinfo = connected_components(spark, edges, max_steps=100, check_every=5)
+    n_comp = comp.agg(F.countDistinct("component")).first()[0]
+    queries["connected_components"] = time.monotonic() - t0
+    extra["cc_supersteps"] = cinfo.supersteps
+    extra["cc_components"] = n_comp
+    log(f"cc: {cinfo.supersteps} supersteps, {n_comp} components in {queries['connected_components']:.1f}s")
+
+    # --- label propagation (5 synchronous rounds) ---------------------------
+    t0 = time.monotonic()
+    lp, _ = label_propagation(spark, edges, max_steps=5, run_to_convergence=False)
+    lp.count()
+    queries["label_propagation"] = time.monotonic() - t0
+
+    # --- triangles -----------------------------------------------------------
+    t0 = time.monotonic()
+    n_tri = triangle_count(spark, edges)
+    queries["triangle_count"] = time.monotonic() - t0
+    extra["triangles"] = n_tri
+
+    # --- code-graph ingest (synthetic source table per input_hint) ----------
+    t0 = time.monotonic()
+    src = make_source_files(spark, n_repos=50, files_per_repo=100, refs_per_file=6)
+    nodes, cg_edges = code_link_graph(src)
+    extra["codegraph_edges"] = cg_edges.count()
+    queries["codegraph_ingest"] = time.monotonic() - t0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # --- dedup: minhash LSH --------------------------------------------------
+    t0 = time.monotonic()
+    extra["minhash_candidates"] = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16).count()
+    queries["minhash_lsh"] = time.monotonic() - t0
+
+    # --- dedup: exact + simhash ---------------------------------------------
+    t0 = time.monotonic()
+    D.exact_duplicates(docs).count()
+    D.simhash_signatures(docs).count()
+    queries["dedup_exact_simhash"] = time.monotonic() - t0
+
+    # --- similarity: brute-force ANN ----------------------------------------
+    t0 = time.monotonic()
+    q = emb.filter(F.col("vec_id") < 20)
+    S.cosine_topk(emb, q, k=10, mode="numpy").count()
+    queries["ann_cosine_topk"] = time.monotonic() - t0
+
+    # --- text stats ----------------------------------------------------------
+    t0 = time.monotonic()
+    TS.quality_score(docs).count()
+    TS.lang_id(docs).count()
+    TS.doc_fingerprint(docs).count()
+    queries["text_stats"] = time.monotonic() - t0
+
+    edges.unpersist()
+    total = sum(queries.values())
+    out = {
+        "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 + cc + lp + triangles + ingest + dedup + ann + textstats)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extra,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

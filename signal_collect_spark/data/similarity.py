@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * ``cosine_topk``         — brute-force exact top-k, two physical
+    paths: "expr" (zip_with/aggregate, JVM) and "numpy" (Arrow-batched
+    matmul via mapInPandas + partial per-partition top-k). Tested equal.
+  * ``lsh_bucketed_topk``   — the scale path: random-hyperplane LSH
+    buckets (deterministic seed) restrict candidates to matching
+    buckets; recall<1 by construction, bounded work per query.
+
+Scale notes (10^9 vectors):
+  * queries are broadcast (small side); the corpus is scanned once.
+  * numpy path does a (batch × dim) @ (dim × q) matmul per Arrow batch
+    and emits only the per-partition top-k — the shuffle carries
+    k·|queries| rows per partition, not the corpus.
+  * IVF-style partition pruning would follow the same shape with a
+    coarse-quantizer bucket column + partitioned storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _cos_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query_id, neighbor_id, cos) pairs, self-matches excluded —
+    the brute-force scoring kernel (broadcast queries × corpus scan)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "expr",
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, cos) — excludes
+    self-matches; deterministic order (cos desc, neighbor_id asc).
+    """
+    if mode == "expr":
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("cv")).alias("cos"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    if mode == "numpy":
+        import numpy as np  # noqa: PLC0415
+
+        qrows = queries.select(id_col, vec_col).collect()  # small, broadcast below
+        qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+        qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        spark = corpus.sparkSession
+        bq = spark.sparkContext.broadcast((qids, qn))
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("cos", T.DoubleType()),
+            ]
+        )
+
+        def _score(batches):
+            import pandas as pd  # noqa: PLC0415
+
+            ids_q, qmat = bq.value
+            for pdf in batches:
+                cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                sims = cn @ qmat.T  # (batch, nq)
+                cids = pdf[id_col].to_numpy(dtype=np.int64)
+                out_q, out_n, out_c = [], [], []
+                for j in range(len(ids_q)):
+                    col = sims[:, j]
+                    mask = cids != ids_q[j]
+                    cand_ids, cand = cids[mask], col[mask]
+                    if len(cand) == 0:
+                        continue
+                    kk = min(k, len(cand))
+                    # partial top-k per batch; ties resolved globally later
+                    part = np.argpartition(-cand, kk - 1)[:kk]
+                    out_q.extend([ids_q[j]] * kk)
+                    out_n.extend(cand_ids[part])
+                    out_c.extend(cand[part])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos": out_c}
+                )
+
+        partial = corpus.select(id_col, vec_col).mapInPandas(_score, schema)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        return (
+            partial.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign-pattern of dot products with ``n_planes``
+    deterministic random hyperplanes — JVM-side via aggregate exprs."""
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = None
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket (equi-join, no cross product) — the 10^9-vector shape.
+    Returns (query_id, neighbor_id, cos)."""
+    cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb.withColumnRenamed("id", "query_id"), "query_id"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,100 @@
+"""Text analysis operators over a documents table — all expression-only
+(whole-stage codegen; zero Python in the scan).
+
+  * token_stats       — token count, char count, avg token length
+  * quality_score     — length/punct/stopword-ratio heuristic
+  * lang_id           — stopword-overlap n-gram-free heuristic
+  * doc_fingerprint   — order-sensitive polynomial rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic mini stopword lists (top function words)
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "del"],
+    "de": ["der", "die", "und", "das", "in", "von", "zu", "mit", "den", "ist"],
+}
+
+_EN = STOPWORDS["en"]
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len)."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def stopword_ratio(text_col: str, stopwords: list[str]):
+    toks = _tokens(text_col)
+    sw = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.size(sw) / F.size(toks)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, stop_ratio, punct_ratio, score) — a deterministic
+    quality heuristic of the usual pretraining-filter shape:
+    score = clamp01(len_norm) * (0.5 + stop_ratio) * (1 - punct_ratio)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    stop = stopword_ratio(text_col, _EN)
+    punct = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    len_norm = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        stop.alias("stop_ratio"),
+        punct.alias("punct_ratio"),
+        (len_norm * (F.lit(0.5) + stop) * (F.lit(1.0) - punct)).alias("score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pred_lang, confidence): argmax stopword-overlap ratio across
+    the configured languages; 'und' when nothing matches."""
+    scores = [
+        stopword_ratio(text_col, sws).alias(f"s_{lang}") for lang, sws in STOPWORDS.items()
+    ]
+    scored = docs.select(F.col(id_col).alias("id"), *scores)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # reversed so earlier langs win ties deterministically
+    for lg in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"s_{lg}") == best), F.lit(lg)).otherwise(pred)
+    return scored.select("id", pred.alias("pred_lang"), best.alias("confidence"))
+
+
+def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprint): order-sensitive polynomial rolling hash over
+    token hashes: f = Σ h(tok_i)·31^(n-1-i) mod 2^56 — equal texts ⇒
+    equal fingerprints, permuted texts differ (unlike a set hash).
+    Modulus 2^56 keeps acc*31 + h < 2^63 (no LongType overflow)."""
+    mask = (1 << 56) - 1
+    toks = _tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.xxhash64(t).bitwiseAND(F.lit(mask))).bitwiseAND(
+            F.lit(mask)
+        ),
+    )
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

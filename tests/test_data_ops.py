@@ -1,0 +1,168 @@
+"""Training-data toolkit: dedup, similarity, text stats, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from signal_collect_spark.data import dedup as D
+from signal_collect_spark.data import multimodal as M
+from signal_collect_spark.data import similarity as S
+from signal_collect_spark.data import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "el la de que y en un es los del algo mas"),       # spanish-ish
+        (5, "tiny"),                                           # < n tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    rows = {r["canonical_id"]: r["n_dups"] for r in D.exact_duplicates(docs).collect()}
+    assert rows[0] == 2        # docs 0 and 3
+    assert rows[1] == 1
+    assert 3 not in rows       # merged into 0
+
+
+def test_word_shingles_counts(spark, docs):
+    sh = D.word_shingles(docs, n=3)
+    per = {r["id"]: r["cnt"] for r in sh.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    assert per[0] == 7  # 9 tokens → 7 trigrams (all distinct)
+    assert 5 not in per  # short doc yields no shingles (no bogus sequence)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 3)] == pytest.approx(1.0)   # exact dup
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()}
+    assert (0, 3) in cands          # identical → all bands match
+    assert (0, 1) in cands          # high-jaccard → some band matches
+    assert (0, 2) not in cands
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sig = {r["id"]: r["sig"] for r in D.minhash_signatures(docs, num_hashes=64).collect()}
+    est_03 = sum(a == b for a, b in zip(sig[0], sig[3])) / 64
+    assert est_03 == 1.0
+    est_01 = sum(a == b for a, b in zip(sig[0], sig[1])) / 64
+    assert 0.3 < est_01 < 1.0       # true jaccard (0,1) ≈ 0.45
+    est_02 = sum(a == b for a, b in zip(sig[0], sig[2])) / 64
+    assert est_02 < 0.3
+
+
+def test_simhash_exact_dups_equal_near_dups_close(spark, docs):
+    sims = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sims[0] == sims[3]
+    ham01 = bin(sims[0] ^ sims[1]).count("1")
+    ham02 = bin(sims[0] ^ sims[2]).count("1")
+    assert ham01 < ham02
+
+
+def test_cosine_topk_expr_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = S.cosine_topk(emb, q, k=4, mode="expr").collect()
+    b = S.cosine_topk(emb, q, k=4, mode="numpy").collect()
+    ka = {(r["query_id"], r["neighbor_id"]) for r in a}
+    kb = {(r["query_id"], r["neighbor_id"]) for r in b}
+    assert ka == kb
+    ca = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in a}
+    cb = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in b}
+    for key in ca:
+        assert ca[key] == pytest.approx(cb[key], abs=1e-9)
+    # ground truth vs numpy directly
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for qid in range(3):
+        order = [n for n in np.argsort(-sims[qid]) if n != qid][:4]
+        got = [r["neighbor_id"] for r in sorted(a, key=lambda r: -r["cos"]) if r["query_id"] == qid]
+        assert set(got) == set(order)
+
+
+def test_lsh_bucketed_topk_is_subset_of_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = S.lsh_bucketed_topk(emb, q, k=3, n_planes=4, dim=16).collect()
+    # every returned neighbor must share the query's bucket and be real
+    assert 0 < len(approx) <= 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in approx)
+
+
+def test_token_stats_and_fingerprint(spark, docs):
+    stats = {r["id"]: r for r in TS.token_stats(docs).collect()}
+    assert stats[0]["n_tokens"] == 9
+    assert stats[5]["n_tokens"] == 1
+    fp = {r["id"]: r["fingerprint"] for r in TS.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[3]          # identical text
+    assert fp[0] != fp[1]
+    # order sensitivity
+    shuffled = spark.createDataFrame(
+        [(0, "dog lazy the over jumps fox brown quick the")], "doc_id long, text string"
+    )
+    fp2 = TS.doc_fingerprint(shuffled).first()["fingerprint"]
+    assert fp2 != fp[0]
+
+
+def test_quality_and_lang_id(spark, docs):
+    q = {r["id"]: r for r in TS.quality_score(docs).collect()}
+    assert 0.0 <= q[0]["score"] <= 1.5
+    assert q[0]["stop_ratio"] == pytest.approx(2 / 9)  # 'the' twice, 'over' not in list
+    langs = {r["id"]: r["pred_lang"] for r in TS.lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[4] == "es"
+    assert langs[5] == "und"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = M.make_media_fixture(spark, n=9)
+    feats = M.extract_features(media, pool=2).collect()
+    assert len(feats) == 9
+    by_id = {r["media_id"]: r["feat"] for r in feats}
+    m0 = media.filter("media_id = 0").first()
+    h, w = m0["meta"]["height"] // 2 * 2, m0["meta"]["width"] // 2 * 2
+    assert len(by_id[0]) == (h // 2) * (w // 2)
+    assert all(0.0 <= v <= 1.0 for v in by_id[0])
+    # determinism
+    feats2 = {r["media_id"]: r["feat"] for r in M.extract_features(media, pool=2).collect()}
+    assert feats2[0] == by_id[0]
+
+
+def test_multimodal_decode_stub_raises_without_codec(spark):
+    media = M.make_media_fixture(spark, n=2)
+    with pytest.raises(Exception) as ei:
+        M.extract_features(media, decoder=None).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_plan(spark):
+    media = M.make_media_fixture(spark, n=9)
+    frames = M.sample_frames(media, every_n=4).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {2, 5, 8}
+    f2 = sorted(r["frame_idx"] for r in frames if r["media_id"] == 2)
+    assert f2 == [0, 4, 8]  # n_frames=12 → 0,4,8
