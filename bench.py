@@ -76,6 +76,12 @@ def main() -> None:
     extra["graph_edges"] = n_edges
     log(f"bench graph: {n_edges} edges")
 
+    # JIT warmup (untimed): first-run codegen/JIT inflates per-step cost ~2x
+    wstate, _ = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
+                         max_steps=6, check_every=3)
+    wstate.unpersist()
+    log("warmup done")
+
     # --- flagship: PageRank to 1e-6-equivalent convergence -----------------
     t0 = time.monotonic()
     state, info = pagerank(

@@ -61,7 +61,9 @@ def label_propagation(
 
     for step in range(max_steps):
         ts = time.monotonic()
-        msgs = state.alias("s").join(e.alias("e"), F.col("s.id") == F.col("e.src")).select(
+        msgs = state.hint("shuffle_hash").alias("s").join(
+            e.alias("e"), F.col("s.id") == F.col("e.src")
+        ).select(
             F.col("e.dst").alias("vid"), F.col("s.label").alias("label"), F.col("e.weight").alias("weight")
         )
         self_pref = state.select(
