@@ -6,6 +6,12 @@ from signal_collect_spark.algorithms.components import connected_components
 from signal_collect_spark.algorithms.sssp import sssp
 from signal_collect_spark.algorithms.labelprop import label_propagation
 from signal_collect_spark.algorithms.triangles import triangle_count, local_clustering_coefficient
+from signal_collect_spark.algorithms.examples import (
+    company_valuation,
+    game_of_life,
+    schelling_segregation,
+    vertex_coloring,
+)
 
 __all__ = [
     "pagerank",
@@ -14,4 +20,8 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "local_clustering_coefficient",
+    "company_valuation",
+    "game_of_life",
+    "schelling_segregation",
+    "vertex_coloring",
 ]

@@ -149,7 +149,12 @@ CSR_SCHEMA = (
 )
 
 
-def csr_pack(edges: DataFrame, num_partitions: int, weight_col: str = "weight") -> DataFrame:
+def csr_pack(
+    edges: DataFrame,
+    num_partitions: int,
+    weight_col: str = "weight",
+    n_salts: int = 1,
+) -> DataFrame:
     """Pack edges into one CSR-ish row per hash partition.
 
     ≙ the reference's compact adjacency encodings (varint int sets,
@@ -158,12 +163,20 @@ def csr_pack(edges: DataFrame, num_partitions: int, weight_col: str = "weight") 
     parallel arrays (srcs, dsts, weights) consumed by a vectorized
     numpy gather-scatter kernel inside applyInPandas.
 
-    pid = pmod(xxhash64(src), P) — the same function the engine applies
-    to the frontier so cogroup lines up without an extra shuffle key.
+    pid = pmod(xxhash64(src) [+ salt], P) — the same function the
+    engine applies to the frontier so cogroup lines up without an
+    extra shuffle key. With ``n_salts > 1`` a source's adjacency is
+    spread across n_salts pids keyed by hash(dst) — hub-vertex skew
+    neutralization for the CSR path (the frontier is replicated
+    ×n_salts to reach every sub-partition; sum/min aggregation is
+    associative so results are unchanged — tests assert equality).
     """
     import numpy as np  # noqa: PLC0415 — worker-side import kept local
 
-    pid = F.pmod(F.xxhash64(F.col("src")), F.lit(num_partitions)).cast("int")
+    pid_base = F.xxhash64(F.col("src"))
+    if n_salts > 1:
+        pid_base = pid_base + F.pmod(F.xxhash64(F.col("dst")), F.lit(n_salts))
+    pid = F.pmod(pid_base, F.lit(num_partitions)).cast("int")
 
     def _pack(pdf):
         import pandas as pd  # noqa: PLC0415
@@ -183,6 +196,10 @@ def csr_pack(edges: DataFrame, num_partitions: int, weight_col: str = "weight") 
     return cols.groupBy("pid").applyInPandas(_pack, CSR_SCHEMA)
 
 
-def frontier_pid(id_col, num_partitions: int):
-    """Partition-id expression matching :func:`csr_pack`."""
-    return F.pmod(F.xxhash64(id_col), F.lit(num_partitions)).cast("int")
+def frontier_pid(id_col, num_partitions: int, salt_col=None):
+    """Partition-id expression matching :func:`csr_pack` (pass the
+    0..n_salts-1 replica index as ``salt_col`` for salted packs)."""
+    base = F.xxhash64(id_col)
+    if salt_col is not None:
+        base = base + salt_col
+    return F.pmod(base, F.lit(num_partitions)).cast("int")

@@ -140,6 +140,7 @@ def run_supersteps(
     converge_tol: float = 1e-9,
     max_steps: int = 100,
     mode: str = "sql",
+    csr_salts: int = 1,
     num_partitions: int | None = None,
     truncate_every: int = 4,
     check_every: int = 1,
@@ -165,7 +166,9 @@ def run_supersteps(
     if mode == "csr":
         if len(spec) != 1 or spec[0][1] not in ("sum", "min", "max"):
             raise ValueError("mode='csr' supports a single sum/min/max aggregate")
-        csr = G.csr_pack(edges_p, P, weight_col=kernel.weight_col).persist()
+        csr = G.csr_pack(
+            edges_p, P, weight_col=kernel.weight_col, n_salts=csr_salts
+        ).persist()
         csr.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
@@ -189,7 +192,7 @@ def run_supersteps(
         )
 
         if mode == "csr":
-            inbox = _csr_signal(frontier, csr, P, kernel, agg_fn)
+            inbox = _csr_signal(frontier, csr, P, kernel, agg_fn, csr_salts)
         else:
             # SHUFFLE_HASH on the frontier (build) side: a sort-merge join
             # would re-sort the edge table every superstep — measured 1.6x
@@ -274,7 +277,9 @@ def run_supersteps(
     return state, info
 
 
-def _csr_signal(frontier: DataFrame, csr: DataFrame, P: int, kernel: Kernel, agg_fn):
+def _csr_signal(
+    frontier: DataFrame, csr: DataFrame, P: int, kernel: Kernel, agg_fn, n_salts: int = 1
+):
     """One signal step through the CSR/numpy path.
 
     cogroup(frontier by pid, csr by pid) → vectorized gather-scatter:
@@ -330,7 +335,14 @@ def _csr_signal(frontier: DataFrame, csr: DataFrame, P: int, kernel: Kernel, agg
             np.maximum.at(out, inv, m)
         return pd.DataFrame({"dst": uniq, "m": out})
 
-    f = frontier.withColumn("pid", G.frontier_pid(F.col("id"), P))
+    if n_salts > 1:
+        # replicate each frontier vertex to every salt sub-partition its
+        # (hub) adjacency may have been spread across
+        f = frontier.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).withColumn("pid", G.frontier_pid(F.col("id"), P, salt_col=F.col("__salt"))).drop("__salt")
+    else:
+        f = frontier.withColumn("pid", G.frontier_pid(F.col("id"), P))
     partial = (
         f.groupBy("pid")
         .cogroup(csr.groupBy("pid"))

@@ -141,3 +141,21 @@ def test_triangles_ignore_duplicates_and_direction(spark):
     pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 2)]
     edges = FX.edges_df(spark, pairs)
     assert triangle_count(spark, edges) == 1
+
+
+def test_csr_salted_equals_unsalted(spark):
+    # hub-skew neutralization for the CSR path: identical results
+    from signal_collect_spark.algorithms.pagerank import pagerank
+    import pytest as _pt
+
+    hub_pairs = [(i, 999) for i in range(40)] + [(999, i) for i in range(10)] + FX.cycle(10)
+    edges = FX.edges_df(spark, hub_pairs)
+    plain, _ = pagerank(spark, edges, max_steps=8, converge_tol=1e-12, mode="csr", **OPTS)
+    salted, _ = pagerank(
+        spark, edges, max_steps=8, converge_tol=1e-12, mode="csr", csr_salts=4, **OPTS
+    )
+    a = {r["id"]: r["rank"] for r in plain.collect()}
+    b = {r["id"]: r["rank"] for r in salted.collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v] == _pt.approx(b[v], abs=1e-12), v
