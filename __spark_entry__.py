@@ -121,7 +121,7 @@ def _pagerank_sql() -> str:
     ctes = [f"WITH {_DENSE_SQL.strip()},", "pr0 AS (SELECT id, 0.15 AS rank FROM dverts)"]
     for k in range(1, PR_STEPS + 1):
         ctes.append(
-            f""",pr{k} AS (
+            f""",pr{k} AS MATERIALIZED (
   SELECT v.id AS id, 0.15 + 0.85 * COALESCE(s.acc, 0.0) AS rank
   FROM dverts v LEFT JOIN (
     SELECT e.dst AS id, SUM(p.rank / d.outdeg) AS acc
@@ -144,7 +144,7 @@ def _lp_sql() -> str:
     ctes = [f"WITH {_SPARSE_SQL.strip()},", "lp0 AS (SELECT id, id AS label FROM sverts)"]
     for k in range(1, LP_ROUNDS + 1):
         ctes.append(
-            f""",lp{k} AS (
+            f""",lp{k} AS MATERIALIZED (
   SELECT id, label FROM (
     SELECT vid AS id, label,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY w DESC, label ASC) AS rn
@@ -169,7 +169,7 @@ def _bfs_sql() -> str:
     ]
     for k in range(1, BFS_ROUNDS + 1):
         ctes.append(
-            f""",d{k} AS (
+            f""",d{k} AS MATERIALIZED (
   SELECT id, MIN(dist) AS dist FROM (
     SELECT id, dist FROM d{k - 1}
     UNION ALL
@@ -190,7 +190,7 @@ def _bf_sql() -> str:
     ]
     for k in range(1, BF_ROUNDS + 1):
         ctes.append(
-            f""",w{k} AS (
+            f""",w{k} AS MATERIALIZED (
   SELECT id, MIN(dist) AS dist FROM (
     SELECT id, dist FROM w{k - 1}
     UNION ALL
@@ -200,6 +200,103 @@ def _bf_sql() -> str:
     return (
         "\n".join(ctes)
         + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM w{BF_ROUNDS}"
+    )
+
+
+GATED_STEPS = 25
+GATED_THRESHOLD = 0.001
+
+
+def _pagerank_gated_sql() -> str:
+    """Unrolled DELTA formulation WITH the per-vertex signal-threshold
+    gate (strict |delta| > θ) — the score-guided-scheduling semantics
+    (WorkerImplementation.scala:213-215) verified end-to-end: a
+    sub-threshold vertex keeps accumulating its delta until it crosses
+    the gate (EfficientPageRank.scala:43-57)."""
+    t = GATED_THRESHOLD
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        "g0 AS (SELECT id, 0.15 AS rank, 0.15 AS delta FROM dverts)",
+    ]
+    for k in range(1, GATED_STEPS + 1):
+        ctes.append(
+            f""",g{k} AS MATERIALIZED (
+  SELECT v.id AS id,
+         v.rank + 0.85 * COALESCE(s.acc, 0.0) AS rank,
+         (CASE WHEN ABS(v.delta) > {t} THEN 0.0 ELSE v.delta END)
+           + 0.85 * COALESCE(s.acc, 0.0) AS delta
+  FROM g{k - 1} v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.delta / d.outdeg) AS acc
+    FROM dedges e JOIN g{k - 1} p ON p.id = e.src AND ABS(p.delta) > {t}
+    JOIN ddeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM g{GATED_STEPS}"
+
+
+CV_STEPS = 15
+
+
+def _company_valuation_sql() -> str:
+    """Unrolled weighted-sum fixpoint (CompanyValuation.scala:25-33):
+    v = core + Σ_in v(u)·w over the derived ownership graph."""
+    ctes = [
+        """WITH own AS (
+  SELECT c_custkey % 200 AS src, (c_custkey * 7 + 3) % 200 AS dst,
+         0.02 AS weight
+  FROM customer WHERE c_custkey % 200 <> (c_custkey * 7 + 3) % 200
+  GROUP BY 1, 2),
+core AS (SELECT c_custkey % 200 AS id, ROUND(SUM(c_acctbal), 2) AS core_value
+         FROM customer GROUP BY 1),
+overts AS (SELECT src AS id FROM own UNION SELECT dst FROM own),
+cv0 AS (SELECT v.id, COALESCE(c.core_value, 0.0) AS val
+        FROM overts v LEFT JOIN core c ON c.id = v.id)""",
+    ]
+    for k in range(1, CV_STEPS + 1):
+        ctes.append(
+            f""",cv{k} AS MATERIALIZED (
+  SELECT v.id AS id, v0.val + COALESCE(s.acc, 0.0) AS val
+  FROM cv{k - 1} v JOIN cv0 v0 ON v0.id = v.id
+  LEFT JOIN (
+    SELECT o.dst AS id, SUM(p.val * o.weight) AS acc
+    FROM own o JOIN cv{k - 1} p ON p.id = o.src
+    GROUP BY o.dst) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, ROUND(val, 4) AS valuation FROM cv{CV_STEPS}"
+
+
+GOL_STEPS = 3
+GOL_N = 400  # 20x20 torus grid
+
+
+def _gol_sql() -> str:
+    """Unrolled Conway generations on a 20×20 torus-8-neighbour graph
+    derived arithmetically; initial alive = id where id % 7 < 2."""
+    nbrs = """gedges AS (
+  SELECT v.id AS src,
+         ((v.id // 20 + dy.d + 20) % 20) * 20 + ((v.id % 20 + dx.d + 20) % 20) AS dst
+  FROM (SELECT UNNEST(range(400)) AS id) v,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dx
+  WHERE NOT (dy.d = 0 AND dx.d = 0))"""
+    ctes = [
+        f"WITH {nbrs},",
+        "gl0 AS (SELECT id, CASE WHEN id % 7 < 2 THEN 1 ELSE 0 END AS alive"
+        " FROM (SELECT UNNEST(range(400)) AS id))",
+    ]
+    for k in range(1, GOL_STEPS + 1):
+        ctes.append(
+            f""",gl{k} AS MATERIALIZED (
+  SELECT v.id AS id,
+         CASE WHEN s.n = 3 OR (v.alive = 1 AND s.n = 2) THEN 1 ELSE 0 END AS alive
+  FROM gl{k - 1} v JOIN (
+    SELECT e.src AS id, SUM(p.alive) AS n
+    FROM gedges e JOIN gl{k - 1} p ON p.id = e.dst
+    GROUP BY e.src) s ON s.id = v.id)"""
+        )
+    return (
+        "\n".join(ctes)
+        + f"\nSELECT id, CAST(alive AS INT) AS alive FROM gl{GOL_STEPS}"
     )
 
 
@@ -395,6 +492,99 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def _q_pagerank_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dense_edges(spark, sf_dir)
+    state, _ = pagerank(
+        spark,
+        edges,
+        signal_threshold=GATED_THRESHOLD,
+        converge_tol=-1.0,  # run all GATED_STEPS supersteps
+        max_steps=GATED_STEPS,
+        check_every=5,
+    )
+    return state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_company_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.algorithms import company_valuation
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    own = (
+        cust.select(
+            (F.col("c_custkey") % 200).alias("src"),
+            ((F.col("c_custkey") * 7 + 3) % 200).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(0.02))
+    )
+    core = cust.groupBy((F.col("c_custkey") % 200).alias("id")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("core_value")
+    )
+    state, _ = company_valuation(
+        spark, own, core, converge_tol=-1.0, max_steps=CV_STEPS, check_every=5
+    )
+    return state.select("id", F.round("valuation", 4).alias("valuation"))
+
+
+def _q_game_of_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.algorithms import game_of_life
+
+    v = spark.range(GOL_N).select(F.col("id"))
+    d = spark.createDataFrame([(-1,), (0,), (1,)], "d long")
+    nbrs = (
+        v.crossJoin(d.select(F.col("d").alias("dy")))
+        .crossJoin(d.select(F.col("d").alias("dx")))
+        .filter(~((F.col("dy") == 0) & (F.col("dx") == 0)))
+        .select(
+            F.col("id").alias("src"),
+            (
+                ((F.col("id") / 20).cast("long") + F.col("dy") + 20) % 20 * 20
+                + (F.col("id") % 20 + F.col("dx") + 20) % 20
+            ).alias("dst"),
+        )
+        .withColumn("weight", F.lit(1.0))
+    )
+    alive0 = v.filter(F.col("id") % 7 < 2)
+    state, _ = game_of_life(spark, nbrs, alive0, steps=GOL_STEPS, check_every=3)
+    return state.select("id", F.col("alive").cast("int").alias("alive"))
+
+
+def _q_hub_removed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation coverage: remove the max-degree vertex (tie -> min id)
+    and every incident edge; report the surviving edge count."""
+    from signal_collect_spark import mutation as MU
+
+    edges = dense_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    hub = deg.orderBy(F.desc("d"), F.asc("id")).limit(1).select("id")
+    _, e2 = MU.remove_vertices(verts, edges, hub)
+    return e2.agg(F.count("*").alias("n_edges_after"))
+
+
+def _q_doc_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row content-hash invariant surface: sha256 of every doc."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+def _q_vertex_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.algorithms import vertex_coloring
+
+    edges = sparse_edges(spark, sf_dir)
+    state, _ = vertex_coloring(spark, edges, max_colors=64, max_steps=30, check_every=5)
+    return state.select("id", "color")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -424,10 +614,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann,
         "embedding_norms": _q_embedding_norms,
+        "pagerank_gated": _q_pagerank_gated,
+        "company_valuation": _q_company_valuation,
+        "game_of_life": _q_game_of_life,
+        "hub_removed_edges": _q_hub_removed_edges,
+        "doc_sha256": _q_doc_sha256,
         # rows-only checks (hash functions not reproducible in ANSI SQL)
         "minhash_lsh_candidates": _q_minhash,
         "simhash_signatures": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
+        "vertex_coloring": _q_vertex_coloring,
     }
 
 
@@ -542,4 +738,15 @@ SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5""",
         "embedding_norms": """SELECT vec_id AS id,
   ROUND(SQRT(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE))), 6) AS l2_norm
 FROM embeddings""",
+        "pagerank_gated": _pagerank_gated_sql(),
+        "company_valuation": _company_valuation_sql(),
+        "game_of_life": _gol_sql(),
+        "hub_removed_edges": f"""WITH {_DENSE_SQL.strip()},
+deg AS (SELECT id, count(*) AS d FROM (
+          SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges)
+        GROUP BY id),
+hub AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1)
+SELECT count(*) AS n_edges_after FROM dedges
+WHERE src NOT IN (SELECT id FROM hub) AND dst NOT IN (SELECT id FROM hub)""",
+        "doc_sha256": "SELECT doc_id AS id, sha256(text) AS content_sha256 FROM documents",
     }
