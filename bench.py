@@ -77,9 +77,9 @@ def main() -> None:
     log(f"bench graph: {n_edges} edges")
 
     # JIT warmup (untimed): first-run codegen/JIT inflates per-step cost ~2x
-    wstate, _ = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
-                         max_steps=6, check_every=3)
-    wstate.unpersist()
+    _, winfo = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
+                        max_steps=6, check_every=3)
+    winfo.release()  # frees the persisted final state (ADVICE r1)
     log("warmup done")
 
     # --- flagship: PageRank to 1e-6-equivalent convergence -----------------
@@ -94,6 +94,7 @@ def main() -> None:
     extra["pagerank_supersteps_per_sec"] = round(info.supersteps / queries["pagerank"], 3)
     extra["pagerank_edges_per_sec"] = round(n_edges * info.supersteps / queries["pagerank"], 1)
     log(f"pagerank: {info.supersteps} supersteps in {queries['pagerank']:.1f}s")
+    info.release()
 
     # --- connected components ----------------------------------------------
     t0 = time.monotonic()
@@ -103,12 +104,14 @@ def main() -> None:
     extra["cc_supersteps"] = cinfo.supersteps
     extra["cc_components"] = n_comp
     log(f"cc: {cinfo.supersteps} supersteps, {n_comp} components in {queries['connected_components']:.1f}s")
+    cinfo.release()
 
     # --- label propagation (5 synchronous rounds) ---------------------------
     t0 = time.monotonic()
-    lp, _ = label_propagation(spark, edges, max_steps=5, run_to_convergence=False)
+    lp, lpinfo = label_propagation(spark, edges, max_steps=5, run_to_convergence=False)
     lp.count()
     queries["label_propagation"] = time.monotonic() - t0
+    lpinfo.release()
 
     # --- triangles -----------------------------------------------------------
     t0 = time.monotonic()

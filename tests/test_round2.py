@@ -1,0 +1,238 @@
+"""Round-2 fixes: 64-bit-exact CC labels, default-engine hub salting,
+chunked CSR packing, wall-clock time limit, quadratic-path guards, and
+the portable (Spark==DuckDB) hash that gives minhash/simhash/
+fingerprint real oracles."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from signal_collect_spark import graph as G
+from signal_collect_spark.algorithms import connected_components
+from signal_collect_spark.algorithms.pagerank import pagerank
+from signal_collect_spark.data import dedup as D
+from signal_collect_spark.data import hashing as HS
+from signal_collect_spark.data import textstats as TS
+from signal_collect_spark.superstep import Kernel, run_supersteps
+
+
+BIG = 2**60  # far above 2^53: a double-typed label would round these
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_cc_exact_with_64bit_ids(spark, mode):
+    """r1 verdict #1 correctness landmine: labels must stay long —
+    ids above 2^53 (e.g. xxhash64 node ids) are EXACT, not rounded."""
+    pairs = [(BIG + 1, BIG + 2), (BIG + 2, BIG + 3), (BIG + 5, BIG + 6), (7, BIG + 1)]
+    e = G.edges_from_pairs(spark, pairs)
+    state, info = connected_components(spark, e, mode=mode, max_steps=20)
+    got = {r["id"]: r["component"] for r in state.collect()}
+    assert got == {
+        7: 7,
+        BIG + 1: 7,
+        BIG + 2: 7,
+        BIG + 3: 7,
+        BIG + 5: BIG + 5,
+        BIG + 6: BIG + 5,
+    }
+    assert dict(state.dtypes)["component"] == "bigint"
+    info.release()
+
+
+def test_value_dtype_long_rejects_weight_math(spark):
+    k = Kernel(
+        name="bad",
+        init=lambda v: v.select("id", F.lit(1.0).alias("residual")),
+        value=lambda: F.col("id"),
+        edge_combine="mul",
+        value_dtype="long",
+    )
+    e = G.edges_from_pairs(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="value_dtype='long'"):
+        run_supersteps(spark, e, G.vertices_from_edges(e), k, max_steps=1)
+
+
+def _star_graph(spark, fan=200, chain=100):
+    pairs = [(0, i) for i in range(1, fan)] + [(i, i + 1) for i in range(1, chain)]
+    return G.edges_from_pairs(spark, pairs)
+
+
+def test_hub_salting_is_bit_identical(spark):
+    """The sql-mode default engine splits hub fan-out across salt
+    buckets (r1 verdict top item); results must equal the unsalted run
+    exactly (sum aggregation is associative; same float order per dst
+    is not guaranteed, so compare to 1e-12)."""
+    e = _star_graph(spark)
+    s1, i1 = pagerank(spark, e, max_steps=8, converge_tol=0.0, check_every=4,
+                      hub_threshold=None)
+    s2, i2 = pagerank(spark, e, max_steps=8, converge_tol=0.0, check_every=4,
+                      hub_threshold=10)  # vertex 0 (deg 199) is a "hub"
+    a = {r["id"]: r["rank"] for r in s1.collect()}
+    b = {r["id"]: r["rank"] for r in s2.collect()}
+    assert a.keys() == b.keys()
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    i1.release()
+    i2.release()
+
+
+def test_hub_salting_splits_edges_across_salts(spark):
+    """The salted edge layout actually spreads a hub's adjacency over
+    several salt values (not just a constant 0 column)."""
+    e = _star_graph(spark)
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    hubs = deg.filter(F.col("d") > 10).select(
+        "src", F.least(F.ceil(F.col("d") / 10), F.lit(8)).cast("int").alias("__n_salt")
+    )
+    salted = e.join(F.broadcast(hubs), "src", "left").withColumn(
+        "__salt",
+        F.when(
+            F.col("__n_salt").isNotNull(),
+            F.pmod(F.xxhash64("dst"), F.col("__n_salt").cast("long")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    n_salts_hub = salted.filter(F.col("src") == 0).select("__salt").distinct().count()
+    assert n_salts_hub > 1  # hub rows spread over multiple buckets
+    n_salts_rest = salted.filter(F.col("src") != 0).select("__salt").distinct().count()
+    assert n_salts_rest == 1  # non-hubs untouched
+
+
+def test_csr_chunked_pack_equals_monolithic(spark):
+    """Bounded-size CSR chunk rows (Arrow 2 GiB guard) must not change
+    results: run PageRank with a tiny chunk size so every partition
+    splits into many chunks."""
+    e = _star_graph(spark)
+    s1, i1 = pagerank(spark, e, max_steps=6, converge_tol=0.0, check_every=3, mode="sql",
+                      hub_threshold=None)
+    a = {r["id"]: r["rank"] for r in s1.collect()}
+
+    import signal_collect_spark.graph as gmod
+    orig = gmod.csr_pack
+
+    def tiny_chunks(edges, P, weight_col="weight", n_salts=1, max_chunk_edges=16):
+        return orig(edges, P, weight_col=weight_col, n_salts=n_salts, max_chunk_edges=16)
+
+    gmod.csr_pack = tiny_chunks
+    try:
+        import signal_collect_spark.superstep as ss
+        ss.G.csr_pack = tiny_chunks
+        s2, i2 = pagerank(spark, e, max_steps=6, converge_tol=0.0, check_every=3, mode="csr")
+        b = {r["id"]: r["rank"] for r in s2.collect()}
+    finally:
+        gmod.csr_pack = orig
+        ss.G.csr_pack = orig
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    i1.release()
+    i2.release()
+
+
+def test_csr_salts_over_partitions_rejected(spark):
+    """csr_salts > P would alias salt replicas mod P and double-count
+    (ADVICE r1)."""
+    e = G.edges_from_pairs(spark, [(1, 2), (2, 3)])
+    with pytest.raises(ValueError, match="csr_salts"):
+        pagerank(spark, e, max_steps=2, mode="csr", csr_salts=64, num_partitions=4)
+
+
+def test_time_limit_stops_between_barriers(spark):
+    """≙ ExecutionConfiguration timeLimit (ExecutionConfiguration.scala:
+    86-97): with time_limit=0 the loop stops at the first convergence
+    barrier and reports why."""
+    e = _star_graph(spark)
+    state, info = pagerank(
+        spark, e, max_steps=50, converge_tol=0.0, check_every=1, time_limit=0.0
+    )
+    assert info.stop_reason == "time_limit"
+    assert info.supersteps == 1  # stopped at the first barrier
+    assert not info.converged
+    info.release()
+
+
+def test_checkpoint_overwrite_invalidates_done_marker(spark, tmp_path):
+    """save() must drop the previous DONE marker before rewriting state
+    (ADVICE r1: crash mid-overwrite must not leave a trusted-but-stale
+    checkpoint)."""
+    from signal_collect_spark.checkpoint import CheckpointManager
+
+    ckpt = str(tmp_path / "ck")
+    mgr = CheckpointManager(spark, ckpt)
+    df = spark.range(10).select(F.col("id"), F.col("id").cast("double").alias("state"))
+    mgr.save(df, superstep=3)
+    assert mgr.latest_superstep() == 3
+    done = os.path.join(ckpt, "superstep=000003", "DONE")
+    assert os.path.exists(done)
+    # re-save of the same superstep succeeds and re-creates the marker
+    mgr.save(df, superstep=3)
+    assert os.path.exists(done)
+    assert mgr.restore()[1] == 3
+
+
+# ---------------------------------------------------------------------------
+# quadratic-path guards
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_docs(spark, n=40):
+    """Every doc shares the same 3 stopword shingles + one unique tail."""
+    rows = [(i, f"the quick brown fox unique{i} tail{i} end{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_max_df_bounds_candidates(spark):
+    docs = _boilerplate_docs(spark)
+    unguarded = D.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=None)
+    assert unguarded.count() == 40 * 39 // 2  # fully quadratic
+    guarded = D.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=5)
+    assert guarded.count() == 0  # stop-shingles dropped -> no candidates
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """Identical docs collapse to one signature -> every band bucket
+    holds all of them; the cap drops those buckets instead of emitting
+    n^2/2 pairs in one task."""
+    rows = [(i, "same same same same same") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, max_bucket=None)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, max_bucket=10)
+    assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# portable hash: Spark == DuckDB bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    words = ["hello", "the quick brown", "", "ünïcode §", "a b c d e f"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = df.select(
+        HS.portable_hash60("s").alias("lo"), HS.portable_hash60_hi("s").alias("hi")
+    ).collect()
+    con = duckdb.connect()
+    for row, w in zip(got, words):
+        lo = con.sql(f"SELECT {HS.sql_hash60('?')}", params=[w]).fetchone()[0]
+        hi = con.sql(f"SELECT {HS.sql_hash60_hi('?')}", params=[w]).fetchone()[0]
+        assert (row["lo"], row["hi"]) == (lo, hi)
+
+
+def test_fingerprint_portable_vs_xxhash_both_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id long, text string"
+    )
+    for fn in ("portable", "xxhash64"):
+        fp = {r["id"]: r["fingerprint"] for r in TS.doc_fingerprint(docs, hash_fn=fn).collect()}
+        assert fp[1] == fp[2]  # equal texts -> equal fingerprints
+        assert fp[1] != fp[3]  # order-sensitive
+
+
+def test_exact_dedup_sha_key_semantics(spark):
+    docs = spark.createDataFrame(
+        [(5, "x y"), (2, "x y"), (9, "z")], "doc_id long, text string"
+    )
+    got = {(r["canonical_id"], r["n_dups"]) for r in D.exact_duplicates(docs).collect()}
+    assert got == {(2, 2), (9, 1)}
