@@ -694,6 +694,60 @@ def _q_vertex_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _busiest_src(edges: DataFrame) -> int:
+    """Max-out-degree source (tie -> min id): a deterministic start
+    vertex whose path fan-out actually exercises the expansion."""
+    r = (
+        edges.groupBy("src").agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("src")).limit(1).first()
+    )
+    return int(r["src"])
+
+
+def _q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≙ examples/PathQuery.scala:126-160 (QueryVertex expanding partial
+    path matches along edges): fixed(s0) → wildcard → wildcard over the
+    directed sparse graph; paths as 'a-b-c' strings."""
+    from signal_collect_spark.algorithms import fixed, path_query_strings, wildcard
+
+    edges = sparse_edges(spark, sf_dir)
+    s0 = _busiest_src(edges)
+    return path_query_strings(spark, edges, [fixed(s0), wildcard(), wildcard()])
+
+
+def _q_path_query_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star node coverage: fixed(s0) → star(2) — walks of 1..2 further
+    hops from s0 (StarQueryNode, PathQuery.scala:44-53)."""
+    from signal_collect_spark.algorithms import fixed, path_query_strings, star
+
+    edges = sparse_edges(spark, sf_dir)
+    s0 = _busiest_src(edges)
+    return path_query_strings(spark, edges, [fixed(s0), star(2)])
+
+
+def _path_query_sql() -> str:
+    return f"""WITH {_SPARSE_SQL.strip()},
+s0 AS (SELECT src AS v FROM sedges GROUP BY src
+      ORDER BY count(*) DESC, src ASC LIMIT 1)
+SELECT DISTINCT CAST(a.src AS VARCHAR) || '-' || CAST(a.dst AS VARCHAR)
+       || '-' || CAST(b.dst AS VARCHAR) AS path
+FROM sedges a JOIN s0 ON a.src = s0.v
+JOIN sedges b ON b.src = a.dst"""
+
+
+def _path_query_star_sql() -> str:
+    return f"""WITH {_SPARSE_SQL.strip()},
+s0 AS (SELECT src AS v FROM sedges GROUP BY src
+      ORDER BY count(*) DESC, src ASC LIMIT 1)
+SELECT DISTINCT CAST(a.src AS VARCHAR) || '-' || CAST(a.dst AS VARCHAR) AS path
+FROM sedges a JOIN s0 ON a.src = s0.v
+UNION
+SELECT DISTINCT CAST(a.src AS VARCHAR) || '-' || CAST(a.dst AS VARCHAR)
+       || '-' || CAST(b.dst AS VARCHAR) AS path
+FROM sedges a JOIN s0 ON a.src = s0.v
+JOIN sedges b ON b.src = a.dst"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -732,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "vertex_coloring": _q_vertex_coloring,
+        "path_query": _q_path_query,
+        "path_query_star": _q_path_query_star,
     }
 
 
@@ -864,4 +920,6 @@ WHERE src NOT IN (SELECT id FROM hub) AND dst NOT IN (SELECT id FROM hub)""",
 SELECT count(*) AS n_vertices, CAST(0 AS BIGINT) AS n_conflicts,
        CAST(0 AS INT) AS out_of_range
 FROM sverts""",
+        "path_query": _path_query_sql(),
+        "path_query_star": _path_query_star_sql(),
     }

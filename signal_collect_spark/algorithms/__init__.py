@@ -12,8 +12,22 @@ from signal_collect_spark.algorithms.examples import (
     schelling_segregation,
     vertex_coloring,
 )
+from signal_collect_spark.algorithms.pathquery import (
+    QueryNode,
+    fixed,
+    path_query,
+    path_query_strings,
+    star,
+    wildcard,
+)
 
 __all__ = [
+    "QueryNode",
+    "fixed",
+    "path_query",
+    "path_query_strings",
+    "star",
+    "wildcard",
     "pagerank",
     "connected_components",
     "sssp",

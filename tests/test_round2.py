@@ -236,3 +236,101 @@ def test_exact_dedup_sha_key_semantics(spark):
     )
     got = {(r["canonical_id"], r["n_dups"]) for r in D.exact_duplicates(docs).collect()}
     assert got == {(2, 2), (9, 1)}
+
+
+# ---------------------------------------------------------------------------
+# path queries (≙ examples/PathQuery.scala) + console monitors
+# ---------------------------------------------------------------------------
+
+
+def _pq_brute(pairs, query):
+    """Reference-faithful brute-force matcher (walk semantics, star =
+    1..max consecutive matches)."""
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    verts = set(adj) | {d for ds in adj.values() for d in ds}
+    out = set()
+
+    def rec(vid, qi, srem, path):
+        kind, arg = query[qi]
+        if kind == "fixed" and vid != arg:
+            return
+        p2 = path + (vid,)
+        nexts = []
+        if qi + 1 < len(query):
+            nq = query[qi + 1]
+            nexts.append((qi + 1, (nq[1] - 1 if nq[0] == "star" else 0)))
+        else:
+            out.add(p2)
+        if kind == "star" and srem > 0:
+            nexts.append((qi, srem - 1))
+        for nqi, nsrem in nexts:
+            for nb in adj.get(vid, []):
+                rec(nb, nqi, nsrem, p2)
+
+    srem0 = query[0][1] - 1 if query[0][0] == "star" else 0
+    for v in verts:
+        rec(v, 0, srem0, ())
+    return out
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        [("star", 5), ("fixed", 2)],  # the reference demo's own query
+        [("fixed", 0), ("wildcard", None), ("wildcard", None)],
+        [("fixed", 0), ("star", 3), ("fixed", 5)],
+        [("wildcard", None), ("fixed", 2), ("wildcard", None)],
+    ],
+)
+def test_path_query_matches_bruteforce(spark, query):
+    from signal_collect_spark.algorithms import fixed, path_query, star, wildcard
+
+    # the reference demo graph (PathQuery.scala:169-186)
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 2), (2, 5)]
+    e = G.edges_from_pairs(spark, pairs)
+    nodes = [
+        fixed(k[1]) if k[0] == "fixed" else (star(k[1]) if k[0] == "star" else wildcard())
+        for k in query
+    ]
+    got = {tuple(r["path"]) for r in path_query(spark, e, nodes).collect()}
+    assert got == _pq_brute(pairs, query)
+
+
+def test_path_query_start_restriction_and_empty(spark):
+    from signal_collect_spark.algorithms import path_query, wildcard
+
+    pairs = [(0, 1), (1, 2)]
+    e = G.edges_from_pairs(spark, pairs)
+    got = {tuple(r["path"]) for r in path_query(spark, e, [wildcard(), wildcard()], start_ids=[0]).collect()}
+    assert got == {(0, 1)}
+    none = path_query(spark, e, [wildcard()], start_ids=[99])
+    assert none.count() == 0
+
+
+def test_break_condition_monitors(spark):
+    """≙ the console's state-changes / GoesAbove / GoesBelow watches."""
+    from signal_collect_spark import aggregations as AGG
+
+    old = spark.createDataFrame([(1, 0.5), (2, 1.5), (3, 2.0)], "id long, state double")
+    new = spark.createDataFrame([(1, 1.5), (2, 1.5), (3, 0.5)], "id long, state double")
+    assert {r["id"] for r in AGG.state_changes(old, new).collect()} == {1, 3}
+    assert {r["id"] for r in AGG.goes_above(old, new, 1.0).collect()} == {1}
+    assert {r["id"] for r in AGG.goes_below(old, new, 1.0).collect()} == {3}
+
+
+def test_graph_sample_json(spark):
+    """≙ GraphAggregator's JSON subgraph payload."""
+    import json
+
+    from signal_collect_spark import aggregations as AGG
+
+    state = spark.createDataFrame([(0, 0.1), (1, 0.2), (2, 0.3)], "id long, rank double")
+    edges = G.edges_from_pairs(spark, [(0, 1), (1, 2), (2, 99)])
+    rows = [json.loads(r["json"]) for r in AGG.graph_sample_json(state, edges, n=3).collect()]
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"vertex", "edge"}
+    edge_rows = [r for r in rows if r["kind"] == "edge"]
+    # (2, 99) excluded: 99 is outside the sampled vertex set
+    assert {(r["src"], r["dst"]) for r in edge_rows} == {(0, 1), (1, 2)}
