@@ -50,7 +50,6 @@ LP_ROUNDS = 4
 BFS_ROUNDS = 8
 BF_ROUNDS = 6  # weighted Bellman-Ford rounds
 
-ENGINE_OPTS = {"check_every": 5, "num_partitions": None}
 
 
 def _li(spark: SparkSession, sf_dir: str) -> DataFrame:

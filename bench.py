@@ -130,14 +130,19 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     # --- dedup: minhash LSH --------------------------------------------------
+    # hash_fn="xxhash64" is the production fast path; the driver's
+    # correctness queries run the same operators with hash_fn="portable"
+    # (md5-60) so DuckDB can verify every value — both paths tested
     t0 = time.monotonic()
-    extra["minhash_candidates"] = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16).count()
+    extra["minhash_candidates"] = D.minhash_lsh_candidates(
+        docs, num_hashes=64, bands=16, hash_fn="xxhash64"
+    ).count()
     queries["minhash_lsh"] = time.monotonic() - t0
 
     # --- dedup: exact + simhash ---------------------------------------------
     t0 = time.monotonic()
     D.exact_duplicates(docs).count()
-    D.simhash_signatures(docs).count()
+    D.simhash_signatures(docs, hash_fn="xxhash64").count()
     queries["dedup_exact_simhash"] = time.monotonic() - t0
 
     # --- similarity: brute-force ANN ----------------------------------------
@@ -150,7 +155,7 @@ def main() -> None:
     t0 = time.monotonic()
     TS.quality_score(docs).count()
     TS.lang_id(docs).count()
-    TS.doc_fingerprint(docs).count()
+    TS.doc_fingerprint(docs, hash_fn="xxhash64").count()
     queries["text_stats"] = time.monotonic() - t0
 
     edges.unpersist()

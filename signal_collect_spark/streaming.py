@@ -91,6 +91,10 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs, state):
+        # vectorized: sessions found by a gap-diff + cumsum over the
+        # sorted event-second array; per-session partials via reduceat —
+        # the only Python loop is over SESSIONS (few), never events
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
         (user_id,) = key
@@ -100,27 +104,44 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             rows.append((user_id, n, s, float(last - first)))
             state.remove()
         else:
-            stamped = []
-            for pdf in pdfs:
-                for t, v in zip(pdf["ts"], pdf["value"]):
-                    stamped.append((int(t.value // 1_000_000_000), float(v)))
-            stamped.sort()
+            frames = [pdf[["ts", "value"]] for pdf in pdfs]
+            ev = pd.concat(frames, ignore_index=True) if len(frames) != 1 else frames[0]
             if state.exists:
-                n, s, first, last = state.get
+                n0, s0, first0, last0 = state.get
             else:
-                n, s, first, last = 0, 0.0, None, None
-            for t, v in stamped:
-                if last is not None and t - last > gap_seconds:
-                    rows.append((user_id, n, s, float(last - first)))
-                    n, s, first = 0, 0.0, None
-                if first is None:
-                    first = t
-                n += 1
-                s += v
-                last = t
-            if n > 0:
-                state.update((n, s, first, last))
-                state.setTimeoutDuration(gap_seconds * 1000)
+                n0, s0, first0, last0 = 0, 0.0, None, None
+            t = ev["ts"].to_numpy().astype("datetime64[ns]").astype("int64") // 1_000_000_000
+            if len(t) == 0:
+                if n0 > 0:
+                    state.update((n0, s0, first0, last0))
+                    state.setTimeoutDuration(gap_seconds * 1000)
+            else:
+                order = np.argsort(t, kind="stable")
+                t = t[order]
+                v = ev["value"].to_numpy(dtype=np.float64)[order]
+                prev = np.empty_like(t)
+                prev[1:] = t[:-1]
+                prev[0] = last0 if last0 is not None else t[0]
+                new_sess = (t - prev) > gap_seconds
+                if last0 is not None and new_sess[0]:
+                    # the open session closed before this batch's events
+                    rows.append((user_id, n0, s0, float(last0 - first0)))
+                    n0, s0, first0 = 0, 0.0, None
+                starts = np.flatnonzero(np.concatenate(([True], new_sess[1:])))
+                cnt = np.diff(np.append(starts, len(t)))
+                sums = np.add.reduceat(v, starts)
+                firsts = t[starts]
+                lasts = t[np.append(starts[1:] - 1, len(t) - 1)]
+                k = len(starts)
+                for i in range(k):
+                    n = int(cnt[i]) + (n0 if i == 0 else 0)
+                    s = float(sums[i]) + (s0 if i == 0 else 0.0)
+                    f = int(firsts[i]) if (i > 0 or first0 is None) else int(first0)
+                    if i < k - 1:
+                        rows.append((user_id, n, s, float(int(lasts[i]) - f)))
+                    else:
+                        state.update((n, s, f, int(lasts[i])))
+                        state.setTimeoutDuration(gap_seconds * 1000)
         yield pd.DataFrame(
             rows, columns=["user_id", "n_events", "sum_value", "session_seconds"]
         )

@@ -229,6 +229,11 @@ def run_supersteps(
             hub_salts = None
             edges_p = G.partition_edges(edges, P).persist()
         else:
+            # the salted superstep plan (union + broadcast join) grows
+            # Catalyst/cache-lookup cost SUPERLINEARLY with lineage
+            # depth — measured 6s -> 97s per step by step 4 untruncated;
+            # flat at 6s with truncation every 1-2 steps
+            truncate_every = min(truncate_every, 2)
             e = edges.join(F.broadcast(hub_salts), "src", "left")
             edges_p = e.withColumn(
                 "__salt",
@@ -269,20 +274,24 @@ def run_supersteps(
             # |state|/P per partition
             if hub_salts is not None:
                 # replicate ONLY hub frontier rows across their salt
-                # sub-partitions (broadcast join against the tiny hub
-                # list), then join on (src, salt) — co-partitioned with
-                # edges_p's (src, __salt) layout
-                frontier = frontier.join(
+                # sub-partitions; the main frontier path takes a constant
+                # __salt=0 column — NO generator. (An explode over a
+                # 1-element array for every non-hub row would knock the
+                # whole frontier scan out of whole-stage codegen:
+                # measured 1.7x slower.) Hub replicas (salts 1..n-1)
+                # come from a broadcast semi-join against the tiny hub
+                # list and are unioned in — a few rows per superstep.
+                replicas = frontier.join(
                     F.broadcast(hub_salts),
                     frontier["id"] == hub_salts["src"],
-                    "left",
                 ).select(
                     "id",
                     "value",
                     F.explode(
-                        F.sequence(F.lit(0), F.coalesce(F.col("__n_salt"), F.lit(1)) - 1)
+                        F.sequence(F.lit(1), F.col("__n_salt") - 1)
                     ).alias("__salt"),
                 )
+                frontier = frontier.withColumn("__salt", F.lit(0)).unionAll(replicas)
                 f, e = frontier.hint("shuffle_hash").alias("f"), edges_p.alias("e")
                 cond = (F.col("f.id") == F.col("e.src")) & (
                     F.col("f.__salt") == F.col("e.__salt")
