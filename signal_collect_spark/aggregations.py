@@ -101,6 +101,32 @@ def map_reduce(state_df: DataFrame, map_expr, agg_expr):
     return state_df.select(map_expr.alias("v")).agg(agg_expr(F.col("v")).alias("r")).first()["r"]
 
 
+def multi_aggregate(state_df: DataFrame, aggs: dict) -> dict:
+    """≙ MultiAggregator (AggregationOperations.scala:35-48): several
+    aggregations folded in ONE pass over the vertex store — here one
+    ``agg(...)`` call, one job. ``aggs`` maps result name → aggregate
+    Column; returns {name: value}."""
+    row = state_df.agg(*[c.alias(name) for name, c in aggs.items()]).first()
+    return {name: row[name] for name in aggs}
+
+
+def for_vertex_with_id(state_df: DataFrame, vertex_id) -> dict | None:
+    """≙ Graph.forVertexWithId (Graph.scala:133-142): run a function
+    against ONE vertex's state. Returns the state row as a dict (None
+    if absent) — a keyed lookup, one partition-pruned filter."""
+    rows = state_df.filter(F.col("id") == F.lit(vertex_id)).limit(1).collect()
+    return rows[0].asDict() if rows else None
+
+
+def foreach_vertex(state_df: DataFrame, fn) -> None:
+    """≙ Graph.foreachVertex (Graph.scala:144-153): apply a side-effecting
+    function to every vertex state, ON THE EXECUTORS (never collects).
+    The reference documents this as a debugging/export hook; at scale
+    prefer a declarative write (``df.write``) — a Python row callback
+    is the slow path by construction."""
+    state_df.foreach(fn)
+
+
 # ---------------------------------------------------------------------------
 # BreakConditions monitors (≙ console/BreakCondition.scala + the console
 # server's state-change / goes-above / goes-below watches between

@@ -184,6 +184,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 100_000,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket (equi-join, no cross product) — the 10^9-vector shape.
@@ -195,6 +196,14 @@ def lsh_bucketed_topk(
     buckets above the cap are dropped — queries landing there get
     reduced recall rather than a runaway task; raise n_planes (finer
     buckets) if that happens systematically. None disables.
+
+    ``n_probes`` > 1 enables multi-probe (r1 verdict: single-probe has
+    a recall cliff for near-hyperplane vectors): each query also
+    probes the buckets at Hamming distance 1 — bucket XOR (1<<j) for
+    the first n_probes-1 planes — multiplying candidate volume by
+    ~n_probes while recovering neighbours that landed one sign-flip
+    away. Probing is on the (small) QUERY side, so the corpus scan and
+    join shape are unchanged.
     """
     cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
     if max_bucket is not None:
@@ -206,6 +215,15 @@ def lsh_bucketed_topk(
         )
         cb = cb.join(ok, "bucket", "left_semi")
     qb = hyperplane_buckets(queries, n_planes, dim, id_col=id_col, vec_col=vec_col)
+    if n_probes > 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(min(n_probes - 1, n_planes))
+            ],
+        )
+        qb = qb.select("id", F.explode(probes).alias("bucket")).distinct()
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
         cb.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
     )
@@ -217,6 +235,10 @@ def lsh_bucketed_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("cv")).alias("cos"))
     )
+    if n_probes > 1:
+        # a pair reachable through several probed buckets would occupy
+        # several top-k slots with the same cos — dedup before ranking
+        scored = scored.distinct()
     from pyspark.sql import Window as W
 
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -387,6 +387,23 @@ def run_supersteps(
     return state, info
 
 
+def recalculate_scores(state: DataFrame, kernel: Kernel) -> DataFrame:
+    """≙ Graph.recalculateScores (Graph.scala:155-166 / WorkerApi
+    recalculateScoresForVertexWithId): recompute every vertex's
+    residual from its CURRENT state without delivering any signals —
+    one collect pass over an empty inbox. Useful after out-of-band
+    state edits (mutation.reset, manual state patches) to re-arm the
+    frontier gate."""
+    spec = _agg_spec(kernel)
+    vdt = "bigint" if kernel.value_dtype == "long" else "double"
+    kind_type = {"set": f"array<{vdt}>", "count": "bigint"}
+    j = state
+    for alias, kind in spec:
+        j = j.withColumn(alias, F.lit(None).cast(kind_type.get(kind, vdt)))
+    j = j.withColumn("was_frontier", F.lit(False))
+    return kernel.collect(j)
+
+
 def _csr_signal(
     frontier: DataFrame, csr: DataFrame, P: int, kernel: Kernel, agg_fn, n_salts: int = 1
 ):

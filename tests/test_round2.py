@@ -334,3 +334,69 @@ def test_graph_sample_json(spark):
     edge_rows = [r for r in rows if r["kind"] == "edge"]
     # (2, 99) excluded: 99 is outside the sampled vertex set
     assert {(r["src"], r["dst"]) for r in edge_rows} == {(0, 1), (1, 2)}
+
+
+def test_multi_probe_lsh_recall_at_least_single_probe(spark):
+    """Multi-probe (bucket XOR one plane bit) must find a superset-or-
+    equal candidate set vs single probe, and stay a subset of brute
+    force (r1 verdict: single-probe recall cliff)."""
+    import numpy as np
+
+    from signal_collect_spark.data import similarity as S
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    brute = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(df, q, k=10).collect()}
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucketed_topk(df, q, k=10, n_planes=6, dim=16, n_probes=1).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucketed_topk(df, q, k=10, n_planes=6, dim=16, n_probes=4).collect()
+    }
+    assert len(multi & brute) >= len(single & brute)
+    # multi-probe emits no duplicate pairs and respects k
+    from collections import Counter
+
+    rows = S.lsh_bucketed_topk(df, q, k=10, n_planes=6, dim=16, n_probes=4).collect()
+    pairs = Counter((r["query_id"], r["neighbor_id"]) for r in rows)
+    assert max(pairs.values()) == 1
+    per_q = Counter(r["query_id"] for r in rows)
+    assert max(per_q.values()) <= 10
+
+
+def test_multi_aggregate_and_vertex_lookups(spark):
+    from signal_collect_spark import aggregations as AGG
+
+    state = spark.createDataFrame(
+        [(1, 2.0), (2, 3.0), (3, 5.0)], "id long, state double"
+    )
+    got = AGG.multi_aggregate(state, {"s": F.sum("state"), "n": F.count("*"), "mx": F.max("state")})
+    assert got == {"s": 10.0, "n": 3, "mx": 5.0}
+    assert AGG.for_vertex_with_id(state, 2) == {"id": 2, "state": 3.0}
+    assert AGG.for_vertex_with_id(state, 99) is None
+
+
+def test_recalculate_scores_rearms_residual(spark):
+    """≙ Graph.recalculateScores: after zeroing residuals out-of-band,
+    one empty-inbox collect pass recomputes them from current state."""
+    from signal_collect_spark.algorithms.sssp import sssp_kernel
+    from signal_collect_spark.superstep import recalculate_scores
+
+    k = sssp_kernel(source_id=0)
+    # a state patched out-of-band: distances set, residuals zeroed
+    state = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, float("inf"), 0.0)], "id long, dist double, residual double"
+    )
+    re = recalculate_scores(state, k)
+    got = {r["id"]: (r["dist"], r["residual"]) for r in re.collect()}
+    # collect(min(dist, NULL)) keeps dist; residual recomputed from the
+    # improvement rule (no improvement -> 0) — schema and values sane
+    assert got[0][0] == 0.0 and got[1][0] == float("inf")
+    assert set(re.columns) == {"id", "dist", "residual"}
