@@ -555,6 +555,20 @@ def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_centroids (exhaustive probing) is EXACT,
+    so the brute-force SQL oracle verifies the whole IVF pipeline —
+    quantizer training, Arrow-batched assignment, probe join, ranking.
+    Ranked on the ROUNDED cosine (id tie-breaks) from a k=20 raw pool so
+    both engines select identical rows."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    pool = S.ivf_topk(emb, q, k=20, n_centroids=8, nprobe=8, dim=64)
+    pool = pool.select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return pool.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     norm = F.sqrt(
@@ -616,23 +630,82 @@ def _q_game_of_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     from signal_collect_spark.algorithms import game_of_life
 
     v = spark.range(GOL_N).select(F.col("id"))
-    d = spark.createDataFrame([(-1,), (0,), (1,)], "d long")
-    nbrs = (
-        v.crossJoin(d.select(F.col("d").alias("dy")))
-        .crossJoin(d.select(F.col("d").alias("dx")))
-        .filter(~((F.col("dy") == 0) & (F.col("dx") == 0)))
-        .select(
-            F.col("id").alias("src"),
-            (
-                ((F.col("id") / 20).cast("long") + F.col("dy") + 20) % 20 * 20
-                + (F.col("id") % 20 + F.col("dx") + 20) % 20
-            ).alias("dst"),
-        )
-        .withColumn("weight", F.lit(1.0))
-    )
+    nbrs = _torus_edges(spark)
     alive0 = v.filter(F.col("id") % 7 < 2)
     state, _ = game_of_life(spark, nbrs, alive0, steps=GOL_STEPS, check_every=3)
     return state.select("id", F.col("alive").cast("int").alias("alive"))
+
+
+
+def _torus_edges(spark: SparkSession) -> DataFrame:
+    """20x20 torus 8-neighbour edges via a single explode projection —
+    a crossJoin against a tiny delta table plans a CartesianProduct
+    with 32x32 = 1024 near-empty partitions (measured: dominates the
+    whole query's wall time at this scale)."""
+    deltas = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    d = F.explode(
+        F.array(*[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx")) for dy, dx in deltas
+        ])
+    )
+    v = spark.range(GOL_N).select(F.col("id"))
+    return (
+        v.select("id", d.alias("d"))
+        .select(
+            F.col("id").alias("src"),
+            (
+                ((F.col("id") / 20).cast("long") + F.col("d.dy") + 20) % 20 * 20
+                + (F.col("id") % 20 + F.col("d.dx") + 20) % 20
+            ).alias("dst"),
+        )
+        .withColumn("weight", F.lit(1.0))
+        .repartition(8, "src")
+    )
+
+SCH_STEPS = 3
+SCH_THRESHOLD = 0.4
+
+
+def _q_schelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schelling segregation (SchellingSegregation.scala flip semantics)
+    on the 20x20 torus: initial type = 1 iff id % 3 == 0; 3 synchronous
+    rounds; agents flip when same-type neighbour fraction < 0.4."""
+    from signal_collect_spark.algorithms import schelling_segregation
+
+    v = spark.range(GOL_N).select(F.col("id"))
+    nbrs = _torus_edges(spark)
+    types = v.select("id", (F.col("id") % 3 == 0).cast("int").alias("type"))
+    state, info = schelling_segregation(
+        spark, nbrs, types, threshold=SCH_THRESHOLD, steps=SCH_STEPS, check_every=3
+    )
+    return state.select("id", F.col("type").cast("int").alias("type"))
+
+
+def _schelling_sql() -> str:
+    nbrs = """gedges AS (
+  SELECT v.id AS src,
+         ((v.id // 20 + dy.d + 20) % 20) * 20 + ((v.id % 20 + dx.d + 20) % 20) AS dst
+  FROM (SELECT UNNEST(range(400)) AS id) v,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dy,
+       (SELECT UNNEST([-1, 0, 1]) AS d) dx
+  WHERE NOT (dy.d = 0 AND dx.d = 0))"""
+    ctes = [
+        f"WITH {nbrs},",
+        "sc0 AS (SELECT id, CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS t"
+        " FROM (SELECT UNNEST(range(400)) AS id))",
+    ]
+    for k in range(1, SCH_STEPS + 1):
+        ctes.append(
+            f""",sc{k} AS MATERIALIZED (
+  SELECT v.id AS id,
+         CASE WHEN (CASE WHEN v.t = 1 THEN s.ones ELSE s.n - s.ones END)::DOUBLE / s.n
+                   < {SCH_THRESHOLD} THEN 1 - v.t ELSE v.t END AS t
+  FROM sc{k - 1} v JOIN (
+    SELECT e.src AS id, SUM(p.t) AS ones, COUNT(*) AS n
+    FROM gedges e JOIN sc{k - 1} p ON p.id = e.dst
+    GROUP BY e.src) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, CAST(t AS INT) AS type FROM sc{SCH_STEPS}"
 
 
 def _q_hub_removed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -775,10 +848,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_norms": _q_embedding_norms,
         "pagerank_gated": _q_pagerank_gated,
         "company_valuation": _q_company_valuation,
         "game_of_life": _q_game_of_life,
+        "schelling": _q_schelling,
         "hub_removed_edges": _q_hub_removed_edges,
         "doc_sha256": _q_doc_sha256,
         "minhash_lsh_candidates": _q_minhash,
@@ -898,12 +973,27 @@ scored AS (SELECT query_id, neighbor_id,
 ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            FROM scored)
 SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5""",
+        "ann_ivf_topk": """WITH
+fc AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+fq AS (SELECT * FROM fc WHERE nid < 10),
+nrm AS (SELECT nid, SQRT(SUM(v*v)) AS n FROM fc GROUP BY nid),
+dots AS (SELECT fq.nid AS query_id, fc.nid AS neighbor_id, SUM(fq.v * fc.v) AS dot
+         FROM fq JOIN fc ON fc.i = fq.i AND fc.nid <> fq.nid
+         GROUP BY fq.nid, fc.nid),
+scored AS (SELECT query_id, neighbor_id,
+                  ROUND(dot / (nq.n * nc.n), 6) AS cos
+           FROM dots JOIN nrm nq ON nq.nid = query_id JOIN nrm nc ON nc.nid = neighbor_id),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           FROM scored)
+SELECT query_id, neighbor_id, cos FROM ranked WHERE rn <= 5""",
         "embedding_norms": """SELECT vec_id AS id,
   ROUND(SQRT(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE))), 6) AS l2_norm
 FROM embeddings""",
         "pagerank_gated": _pagerank_gated_sql(),
         "company_valuation": _company_valuation_sql(),
         "game_of_life": _gol_sql(),
+        "schelling": _schelling_sql(),
         "hub_removed_edges": f"""WITH {_DENSE_SQL.strip()},
 deg AS (SELECT id, count(*) AS d FROM (
           SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges)

@@ -147,6 +147,135 @@ def cosine_topk(
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an IVF coarse quantizer: numpy mini-k-means over a
+    deterministic sample (first ``sample`` ids — ≤ a few MB on the
+    driver; the full corpus is never collected). Returns a unit-
+    normalized (n_centroids, dim) ndarray. Spherical k-means
+    (cosine assignment) since the search metric is cosine."""
+    import numpy as np  # noqa: PLC0415
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, vec): nearest-centroid assignment via an
+    Arrow-batched matmul (mapInPandas) — one corpus scan, no shuffle.
+    At 10^9 vectors this is the partition/layout key: store the corpus
+    bucketed by centroid_id and searches scan only probed buckets."""
+    import numpy as np  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _assign(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        c = bc.value
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(norm @ c.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "centroid_id": a,
+                    "vec": list(m),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: per query, only the ``nprobe`` nearest
+    centroid buckets are scanned (equi-join on centroid_id), then exact
+    cosine within candidates. The 10^9-vector shape beyond LSH: recall
+    is tunable via nprobe (nprobe = n_centroids ⇒ exact), candidate
+    volume ≈ nprobe/n_centroids of the corpus. Deterministic (seeded
+    quantizer, id tie-breaks). Returns (query_id, neighbor_id, cos)."""
+    import numpy as np  # noqa: PLC0415
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, n_centroids=n_centroids, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(id_col, vec_col).limit(100_001).collect()
+    if len(qrows) > 100_000:
+        raise ValueError("ivf_topk broadcasts the query set; got >100k queries")
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    sims = qn @ np.asarray(centroids).T
+    order = np.argsort(-sims, axis=1)[:, : min(nprobe, len(centroids))]
+    probe_rows = [
+        (int(r[id_col]), [float(v) for v in r[vec_col]], int(cid))
+        for r, probes in zip(qrows, order)
+        for cid in probes
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qv array<double>, centroid_id int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _cos_expr(F.col("qv"), F.col("vec")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 8,

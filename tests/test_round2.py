@@ -400,3 +400,57 @@ def test_recalculate_scores_rearms_residual(spark):
     # improvement rule (no improvement -> 0) — schema and values sane
     assert got[0][0] == 0.0 and got[1][0] == float("inf")
     assert set(re.columns) == {"id", "dist", "residual"}
+
+
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark):
+    """IVF ANN: with nprobe == n_centroids the result equals brute
+    force; with partial probes recall stays high on clustered data."""
+    import numpy as np
+
+    from signal_collect_spark.data import similarity as S
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated clusters -> the coarse quantizer can find them
+    centers = rng.standard_normal((4, 16)) * 4
+    vecs = np.vstack([c + rng.standard_normal((50, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id").isin(0, 50, 100, 150))
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(df, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(df, q, k=5, n_centroids=4, nprobe=4, dim=16).collect()
+    }
+    assert full == brute  # nprobe == n_centroids is exact
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(df, q, k=5, n_centroids=4, nprobe=1, dim=16).collect()
+    }
+    assert len(part & brute) / len(brute) >= 0.8  # clustered data: 1 probe ~ own cluster
+
+
+def test_sessionize_native_matches_stateful_semantics(spark):
+    """session_window (JVM) closed-session aggregates == the custom
+    applyInPandasWithState operator's session definition, on batch."""
+    import datetime as dt
+
+    from signal_collect_spark import streaming as ST
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(seconds=60), 2.0),       # same session
+        (1, base + dt.timedelta(seconds=4000), 4.0),     # new session (gap > 1800)
+        (2, base, 10.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"], r["session_seconds"])
+        for r in ST.sessionize_native(ev, gap_seconds=1800).collect()
+    }
+    assert got == {(1, 2, 3.0, 60.0), (1, 1, 4.0, 0.0), (2, 1, 10.0, 0.0)}
