@@ -406,6 +406,7 @@ def _q_pagerank(mode: str = "sql"):
             max_steps=PR_STEPS,
             mode=mode,
             check_every=5,
+            num_partitions=8,
         )
         return state.select("id", F.round("rank", 6).alias("rank"))
 
@@ -420,7 +421,7 @@ def _q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cc(mode: str = "sql"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = sparse_edges(spark, sf_dir)
-        state, _ = connected_components(spark, edges, mode=mode, max_steps=60, check_every=5)
+        state, _ = connected_components(spark, edges, mode=mode, max_steps=60, check_every=5, num_partitions=8)
         return state.select("id", "component")
 
     return q
@@ -429,7 +430,7 @@ def _q_cc(mode: str = "sql"):
 def _q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sparse_edges(spark, sf_dir)
     state, _ = label_propagation(
-        spark, edges, max_steps=LP_ROUNDS, run_to_convergence=False
+        spark, edges, max_steps=LP_ROUNDS, run_to_convergence=False, num_partitions=8
     )
     return state.select("id", "label")
 
@@ -440,7 +441,7 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().withColumn("weight", F.lit(1.0))
     source = und.agg(F.min(F.least("src", "dst"))).first()[0]
-    state, _ = sssp(spark, und, int(source), max_steps=BFS_ROUNDS, check_every=4)
+    state, _ = sssp(spark, und, int(source), max_steps=BFS_ROUNDS, check_every=4, num_partitions=8)
     return state.filter(F.col("dist").isNotNull()).select(
         "id", F.col("dist").cast("long").alias("dist")
     )
@@ -449,7 +450,7 @@ def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sparse_edges(spark, sf_dir)
     source = edges.agg(F.min(F.least("src", "dst"))).first()[0]
-    state, _ = sssp(spark, edges, int(source), max_steps=BF_ROUNDS, check_every=3)
+    state, _ = sssp(spark, edges, int(source), max_steps=BF_ROUNDS, check_every=3, num_partitions=8)
     return state.filter(F.col("dist").isNotNull()).select(
         "id", F.col("dist").cast("long").alias("dist")
     )
@@ -621,7 +622,7 @@ def _q_company_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal"), 2).alias("core_value")
     )
     state, _ = company_valuation(
-        spark, own, core, converge_tol=-1.0, max_steps=CV_STEPS, check_every=5
+        spark, own, core, converge_tol=-1.0, max_steps=CV_STEPS, check_every=5, num_partitions=8
     )
     return state.select("id", F.round("valuation", 4).alias("valuation"))
 
@@ -632,7 +633,7 @@ def _q_game_of_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(GOL_N).select(F.col("id"))
     nbrs = _torus_edges(spark)
     alive0 = v.filter(F.col("id") % 7 < 2)
-    state, _ = game_of_life(spark, nbrs, alive0, steps=GOL_STEPS, check_every=3)
+    state, _ = game_of_life(spark, nbrs, alive0, steps=GOL_STEPS, check_every=3, num_partitions=8)
     return state.select("id", F.col("alive").cast("int").alias("alive"))
 
 
@@ -676,7 +677,7 @@ def _q_schelling(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = _torus_edges(spark)
     types = v.select("id", (F.col("id") % 3 == 0).cast("int").alias("type"))
     state, info = schelling_segregation(
-        spark, nbrs, types, threshold=SCH_THRESHOLD, steps=SCH_STEPS, check_every=3
+        spark, nbrs, types, threshold=SCH_THRESHOLD, steps=SCH_STEPS, check_every=3, num_partitions=8
     )
     return state.select("id", F.col("type").cast("int").alias("type"))
 
@@ -747,7 +748,7 @@ def _q_vertex_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from signal_collect_spark.algorithms import vertex_coloring
 
     edges = sparse_edges(spark, sf_dir)
-    state, info = vertex_coloring(spark, edges, max_colors=64, max_steps=30, check_every=5)
+    state, info = vertex_coloring(spark, edges, max_colors=64, max_steps=30, check_every=5, num_partitions=8)
     col = state.select("id", "color")
     und = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
