@@ -320,10 +320,10 @@ def _duck_hash60(expr: str) -> str:
     return HS.sql_hash60(expr)
 
 
-def _minhash_lsh_sql() -> str:
-    """DuckDB replica of minhash_lsh_candidates(hash_fn='portable'):
-    same shingles, same (a·x+b) mod 2^31-1 chain, same polynomial band
-    hash, same hot-bucket cap."""
+def _minhash_cte_prefix() -> str:
+    """Shared CTE chain: shingles -> portable hash -> minhash signature
+    -> banded -> hot-bucket-capped bd. Used by the LSH-candidates oracle
+    AND the full dedup-pipeline oracle."""
     r = MINHASH_K // MINHASH_BANDS
     params = D._hash_params(MINHASH_K)
     mins = ",\n    ".join(
@@ -340,7 +340,7 @@ def _minhash_lsh_sql() -> str:
         f"SELECT id, {b} AS band, {band_expr(b)} AS band_hash FROM sig"
         for b in range(MINHASH_BANDS)
     )
-    return f"""WITH {_SHINGLE_SQL.strip()},
+    return f"""{_SHINGLE_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri),
 hx AS (SELECT id, {_duck_hash60('shingle')} % {M31} AS x FROM sh),
 sig AS (SELECT id,
@@ -349,10 +349,17 @@ sig AS (SELECT id,
 banded AS ({bands_union}),
 ok AS (SELECT band, band_hash FROM banded GROUP BY band, band_hash
        HAVING count(*) <= {MINHASH_MAX_BUCKET}),
-bd AS (SELECT b.* FROM banded b JOIN ok USING (band, band_hash))
+bd AS (SELECT b.* FROM banded b JOIN ok USING (band, band_hash))"""
+
+
+def _minhash_lsh_sql() -> str:
+    """DuckDB replica of minhash_lsh_candidates(hash_fn='portable'):
+    same shingles, same (a·x+b) mod 2^31-1 chain, same polynomial band
+    hash, same hot-bucket cap."""
+    return f"""WITH {{prefix}}
 SELECT x.id AS id_a, y.id AS id_b, count(*) AS n_bands
 FROM bd x JOIN bd y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
-GROUP BY x.id, y.id"""
+GROUP BY x.id, y.id""".format(prefix=_minhash_cte_prefix())
 
 
 def _simhash_sql() -> str:
@@ -709,6 +716,42 @@ def _schelling_sql() -> str:
     return "\n".join(ctes) + f"\nSELECT id, CAST(t AS INT) AS type FROM sc{SCH_STEPS}"
 
 
+DEDUP_THRESHOLD = 0.2
+
+
+def _q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization: LSH candidates -> exact
+    Jaccard verify -> engine connected components (transitive closure)
+    -> canonical id per doc. Exercises the data ops AND the superstep
+    engine in one composed pipeline."""
+    return D.dedup_pipeline(spark, _docs(spark, sf_dir), n=3, threshold=DEDUP_THRESHOLD)
+
+
+def _dedup_pipeline_sql() -> str:
+    """DuckDB replica: same candidates (shared minhash CTE prefix), same
+    per-candidate Jaccard, transitive closure via recursive CTE,
+    canonical = min reachable id."""
+    return f"""WITH RECURSIVE {_minhash_cte_prefix()},
+cand AS (SELECT x.id AS id_a, y.id AS id_b
+         FROM bd x JOIN bd y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id
+         GROUP BY x.id, y.id),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+ints AS (SELECT c.id_a, c.id_b, count(*) AS i
+         FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+         GROUP BY c.id_a, c.id_b),
+dup AS (SELECT id_a, id_b FROM ints
+        JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {DEDUP_THRESHOLD}),
+und AS (SELECT id_a AS a, id_b AS b FROM dup UNION SELECT id_b, id_a FROM dup),
+reach(a, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+  UNION
+  SELECT u.a, x.r FROM reach x JOIN und u ON u.b = x.a),
+canon AS (SELECT a AS id, MIN(r) AS canonical_id FROM reach GROUP BY a)
+SELECT d.doc_id AS id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN canon c ON c.id = d.doc_id"""
+
+
 def _q_hub_removed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutation coverage: remove the max-degree vertex (tie -> min id)
     and every incident edge; report the surviving edge count."""
@@ -858,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_removed_edges": _q_hub_removed_edges,
         "doc_sha256": _q_doc_sha256,
         "minhash_lsh_candidates": _q_minhash,
+        "dedup_pipeline": _q_dedup_pipeline,
         "simhash_signatures": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "vertex_coloring": _q_vertex_coloring,
@@ -1004,6 +1048,7 @@ SELECT count(*) AS n_edges_after FROM dedges
 WHERE src NOT IN (SELECT id FROM hub) AND dst NOT IN (SELECT id FROM hub)""",
         "doc_sha256": "SELECT doc_id AS id, sha256(text) AS content_sha256 FROM documents",
         "minhash_lsh_candidates": _minhash_lsh_sql(),
+        "dedup_pipeline": _dedup_pipeline_sql(),
         "simhash_signatures": _simhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "vertex_coloring": f"""WITH {_SPARSE_SQL.strip()}

@@ -239,6 +239,76 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_pipeline(
+    spark,
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "portable",
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate canonicalization — the composition a
+    training-data pipeline actually runs, each stage the scale-shaped
+    one:
+
+      1. MinHash banded LSH → candidate pairs (linear shuffle, no O(n²))
+      2. exact word-shingle Jaccard computed ONLY on candidates
+         (per-pair verify; shingles join candidate pairs, never
+         all-pairs)
+      3. pairs ≥ threshold form a duplicate graph; the superstep
+         engine's min-label connected components gives each doc its
+         transitive duplicate class (dup-of-dup-of-dup collapses)
+      4. canonical id = min doc id of the class
+
+    Returns (id, canonical_id) for EVERY doc (canonical_id = own id for
+    uniques). Deterministic end to end.
+    """
+    from signal_collect_spark.algorithms.components import connected_components
+
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn, max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .filter(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    if pairs.isEmpty():
+        out = all_ids.select("id", F.col("id").alias("canonical_id"))
+        sh.unpersist()
+        return out
+    comp, info = connected_components(spark, pairs, max_steps=30, num_partitions=8)
+    out = (
+        all_ids.join(comp, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"))
+    )
+    out = out.localCheckpoint(eager=True)
+    info.release()
+    sh.unpersist()
+    return out
+
+
 def simhash_signatures(
     docs: DataFrame,
     bits: int = 64,

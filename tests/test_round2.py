@@ -454,3 +454,37 @@ def test_sessionize_native_matches_stateful_semantics(spark):
         for r in ST.sessionize_native(ev, gap_seconds=1800).collect()
     }
     assert got == {(1, 2, 3.0, 60.0), (1, 1, 4.0, 0.0), (2, 1, 10.0, 0.0)}
+
+
+def test_dedup_pipeline_transitive_closure(spark):
+    """A~B and B~C (but A,C share less) must still collapse into ONE
+    class via the engine's connected components; uniques keep their id."""
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta iota"),      # ~ 10
+            (12, "beta gamma delta epsilon zeta eta iota kappa"),      # ~ 11
+            (50, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in D.dedup_pipeline(
+            spark, docs, n=2, threshold=0.3, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert out[50] == 50
+    assert out[10] == out[11] == out[12] == 10
+
+
+def test_dedup_pipeline_no_duplicates_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh"), (3, "ii jj kk ll")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["canonical_id"]
+        for r in D.dedup_pipeline(spark, docs, n=2, threshold=0.9).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}
