@@ -425,6 +425,40 @@ def _q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(10)
 
 
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: teleport mass only on ids divisible by 10
+    (r = 0.15·p + 0.85·Σ) — same delta engine, per-vertex base."""
+    edges = dense_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    pers = verts.select("id", (F.col("id") % 10 == 0).cast("double").alias("p"))
+    state, _ = pagerank(
+        spark, edges, signal_threshold=0.0, converge_tol=0.0,
+        max_steps=PR_STEPS, check_every=5, num_partitions=8,
+        personalization=pers,
+    )
+    return state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_personalized_sql() -> str:
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        "pp AS (SELECT id, CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.0 END AS p FROM dverts),",
+        "ppr0 AS (SELECT id, 0.15 * p AS rank FROM pp)",
+    ]
+    for k in range(1, PR_STEPS + 1):
+        ctes.append(
+            f""",ppr{k} AS MATERIALIZED (
+  SELECT v.id AS id, 0.15 * v.p + 0.85 * COALESCE(s.acc, 0.0) AS rank
+  FROM pp v LEFT JOIN (
+    SELECT e.dst AS id, SUM(q.rank / d.outdeg) AS acc
+    FROM dedges e JOIN ppr{k - 1} q ON q.id = e.src JOIN ddeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, ROUND(rank, 6) AS rank FROM ppr{PR_STEPS}"
+
+
 def _q_cc(mode: str = "sql"):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = sparse_edges(spark, sf_dir)
@@ -874,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
         "pagerank_topk": _q_pagerank_topk,
+        "pagerank_personalized": _q_pagerank_personalized,
         "connected_components": _q_cc(),
         "connected_components_csr": _q_cc(mode="csr"),
         "label_propagation": _q_lp,
@@ -932,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS}",
             f"SELECT id, ROUND(rank, 6) AS rank FROM pr{PR_STEPS} ORDER BY rank DESC, id ASC LIMIT 10",
         ),
+        "pagerank_personalized": _pagerank_personalized_sql(),
         "connected_components": _cc_sql(),
         "connected_components_csr": _cc_sql(),
         "label_propagation": _lp_sql(),

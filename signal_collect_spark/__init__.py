@@ -19,5 +19,17 @@ com.signalcollect.AggregationOperations and a training-data toolkit
 
 from signal_collect_spark.session import get_spark
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+
+def build_graph(spark, edges=None, num_partitions=None):
+    """≙ GraphBuilder.build: the reference-shaped entry point; returns a
+    :class:`signal_collect_spark.graph_builder.SparkGraph` facade.
+    (Named build_graph, not graph_builder: importing the submodule of
+    that name would rebind the package attribute and shadow a
+    same-named function.)"""
+    from signal_collect_spark.graph_builder import SparkGraph
+
+    return SparkGraph(spark, edges=edges, num_partitions=num_partitions)
+
+
+__all__ = ["get_spark", "build_graph"]
+__version__ = "0.2.0"

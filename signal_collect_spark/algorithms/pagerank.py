@@ -39,13 +39,25 @@ DAMPING = 0.85
 BASE = 0.15
 
 
-def pagerank_kernel(signal_threshold: float) -> Kernel:
+def pagerank_kernel(signal_threshold: float, personalization: DataFrame | None = None) -> Kernel:
+    """``personalization``: optional (id, p) — the teleport vector.
+    r(v) = 0.15·p(v) + 0.85·Σ_in r(u)·w/Σw(u); p defaults to 1 for all
+    vertices (the reference's uniform unnormalized base). Same delta
+    trajectory, just a per-vertex r₀ = 0.15·p."""
+
     def init(vertices: DataFrame) -> DataFrame:
-        return vertices.select(
+        if personalization is not None:
+            base = vertices.join(personalization, "id", "left").select(
+                "id",
+                (F.lit(BASE) * F.coalesce(F.col("p"), F.lit(0.0))).alias("r0"),
+            )
+        else:
+            base = vertices.select("id", F.lit(BASE).alias("r0"))
+        return base.select(
             "id",
-            F.lit(BASE).alias("rank"),
-            F.lit(BASE).alias("delta"),
-            F.lit(BASE).alias("residual"),
+            F.col("r0").alias("rank"),
+            F.col("r0").alias("delta"),
+            F.abs(F.col("r0")).alias("residual"),
         )
 
     def collect(joined: DataFrame) -> DataFrame:
@@ -84,6 +96,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    personalization: DataFrame | None = None,
     **engine_opts,
 ) -> tuple[DataFrame, ExecutionInfo]:
     """Run PageRank; returns (DF[id, rank], info).
@@ -91,6 +104,8 @@ def pagerank(
     ``max_steps`` bounds supersteps (≙ ExecutionConfiguration stepsLimit);
     with ``signal_threshold=0`` and ``max_steps=1`` this reproduces the
     exact-one-superstep semantics of ComputationTerminationSpec.scala:79-97.
+    ``personalization`` (id, p) biases the teleport base to 0.15·p —
+    personalized PageRank with the same delta engine.
     """
     norm = G.normalize_edges(edges)
     vertices = G.vertices_from_edges(edges)
@@ -98,7 +113,7 @@ def pagerank(
         spark,
         norm,
         vertices,
-        pagerank_kernel(signal_threshold),
+        pagerank_kernel(signal_threshold, personalization),
         signal_threshold=signal_threshold,
         converge_tol=converge_tol,
         max_steps=max_steps,

@@ -1,0 +1,164 @@
+"""GraphBuilder-style facade — the reference's user-facing API shape.
+
+The reference's entry point is ``GraphBuilder.build`` → a mutable
+``Graph`` with addVertex/addEdge/execute/aggregate/snapshot/shutdown
+(GraphBuilder.scala, Graph.scala:60-230). A user switching from the
+reference keeps the same call sequence here; every method is a thin
+delegation to the engine modules (superstep/mutation/aggregations/
+checkpoint), so nothing in this file adds execution semantics.
+
+    g = SparkGraph(spark)
+    g.add_edge(0, 1).add_edge(1, 2).add_edge(2, 0)
+    ranks, info = g.execute("pagerank", converge_tol=1e-9)
+    top = g.aggregate(AGG.top_k_states, 3, state_col="rank")   # on last result
+    g.snapshot("/tmp/ck")
+    g.shutdown()
+
+Immutability note: Spark DataFrames are immutable, so "mutation"
+returns/replaces the graph's edge table (one lineage step per call) —
+batch many edges per call (``add_edges``) instead of looping
+``add_edge`` at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark import aggregations as AGG
+from signal_collect_spark import graph as G
+from signal_collect_spark import mutation as MU
+from signal_collect_spark.superstep import (
+    ExecutionInfo,
+    Kernel,
+    recalculate_scores,
+    run_supersteps,
+)
+
+_ALGORITHMS = {}
+
+
+def _algorithms():
+    # lazy: avoid import cycles at module load
+    if not _ALGORITHMS:
+        from signal_collect_spark import algorithms as A
+
+        _ALGORITHMS.update(
+            pagerank=A.pagerank,
+            connected_components=A.connected_components,
+            sssp=A.sssp,
+            label_propagation=A.label_propagation,
+            company_valuation=A.company_valuation,
+            game_of_life=A.game_of_life,
+            schelling_segregation=A.schelling_segregation,
+            vertex_coloring=A.vertex_coloring,
+        )
+    return _ALGORITHMS
+
+
+class SparkGraph:
+    """≙ com.signalcollect.Graph (build via GraphBuilder.scala)."""
+
+    def __init__(self, spark, edges: DataFrame | None = None, num_partitions: int | None = None):
+        self.spark = spark
+        self.edges = edges if edges is not None else G.edges_from_pairs(spark, [])
+        self.num_partitions = num_partitions
+        self.last_state: DataFrame | None = None
+        self._infos: list[ExecutionInfo] = []
+
+    # -- mutation (Graph.scala:87-131; handlers interfaces/Handlers.scala) --
+
+    def add_edge(self, src: int, dst: int, weight: float = 1.0) -> "SparkGraph":
+        return self.add_edges([(src, dst, weight)])
+
+    def add_edges(self, pairs) -> "SparkGraph":
+        new = G.edges_from_pairs(self.spark, list(pairs))
+        self.edges = self.edges.unionAll(new).distinct()
+        return self
+
+    def remove_vertex(self, vertex_id: int) -> "SparkGraph":
+        ids = self.spark.createDataFrame([(int(vertex_id),)], "id long")
+        _, self.edges = MU.remove_vertices(self.vertices(), self.edges, ids)
+        return self
+
+    def remove_edge(self, src: int, dst: int) -> "SparkGraph":
+        pair = self.spark.createDataFrame([(int(src), int(dst))], "src long, dst long")
+        self.edges = MU.remove_edges(self.edges, pair)
+        return self
+
+    def vertices(self) -> DataFrame:
+        return G.vertices_from_edges(self.edges)
+
+    # -- execution (Graph.scala:60-85 / DefaultGraph.scala:297-343) --------
+
+    def execute(self, algorithm, **opts) -> tuple[DataFrame, ExecutionInfo]:
+        """Run a named built-in ('pagerank', 'connected_components', …)
+        or a custom :class:`Kernel` over the current edge table."""
+        if isinstance(algorithm, Kernel):
+            state, info = run_supersteps(
+                self.spark, self.edges, self.vertices(), algorithm,
+                num_partitions=self.num_partitions, **opts,
+            )
+        else:
+            fn = _algorithms().get(algorithm)
+            if fn is None:
+                raise ValueError(
+                    f"unknown algorithm {algorithm!r}; built-ins: {sorted(_algorithms())}"
+                )
+            if self.num_partitions is not None:
+                opts.setdefault("num_partitions", self.num_partitions)
+            state, info = fn(self.spark, self.edges, **opts)
+        self.last_state = state
+        self._infos.append(info)
+        return state, info
+
+    # -- queries (Graph.scala:133-188) --------------------------------------
+
+    def aggregate(self, op, *args, state: DataFrame | None = None, **kw):
+        """≙ Graph.aggregate: run an aggregation operator (any function
+        from :mod:`signal_collect_spark.aggregations`) over a state
+        DataFrame (default: the last execute() result)."""
+        df = state if state is not None else self.last_state
+        if df is None:
+            raise ValueError("no state: call execute() first or pass state=")
+        return op(df, *args, **kw)
+
+    def for_vertex_with_id(self, vertex_id):
+        return AGG.for_vertex_with_id(self._require_state(), vertex_id)
+
+    def foreach_vertex(self, fn) -> None:
+        AGG.foreach_vertex(self._require_state(), fn)
+
+    def map_reduce(self, map_expr, agg_expr):
+        return AGG.map_reduce(self._require_state(), map_expr, agg_expr)
+
+    def recalculate_scores(self, kernel: Kernel) -> DataFrame:
+        self.last_state = recalculate_scores(self._require_state(), kernel)
+        return self.last_state
+
+    # -- snapshot / teardown (Graph.scala:211-230) ---------------------------
+
+    def snapshot(self, directory: str, superstep: int = 0) -> None:
+        from signal_collect_spark.checkpoint import CheckpointManager
+
+        CheckpointManager(self.spark, directory).save(self._require_state(), superstep)
+
+    def restore(self, directory: str) -> DataFrame:
+        from signal_collect_spark.checkpoint import CheckpointManager
+
+        restored = CheckpointManager(self.spark, directory).restore()
+        if restored is None:
+            raise FileNotFoundError(f"no complete checkpoint under {directory}")
+        self.last_state = restored[0]
+        return self.last_state
+
+    def shutdown(self) -> None:
+        """≙ Graph.shutdown: release every cache the runs left behind."""
+        for info in self._infos:
+            info.release()
+        self._infos.clear()
+
+    def _require_state(self) -> DataFrame:
+        if self.last_state is None:
+            raise ValueError("no state: call execute() first")
+        return self.last_state

@@ -488,3 +488,56 @@ def test_dedup_pipeline_no_duplicates_identity(spark):
         for r in D.dedup_pipeline(spark, docs, n=2, threshold=0.9).collect()
     }
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_graph_builder_facade_roundtrip(spark, tmp_path):
+    """≙ the reference's GraphBuilder.build -> addEdge -> execute ->
+    aggregate -> snapshot -> shutdown call sequence (Graph.scala:60-230)."""
+    from signal_collect_spark import aggregations as AGG
+    from signal_collect_spark import build_graph
+
+    g = build_graph(spark, num_partitions=4)
+    g.add_edges([(0, 1), (1, 2), (2, 0)])
+    ranks, info = g.execute("pagerank", converge_tol=1e-9)
+    vals = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert all(abs(v - 1.0) < 0.01 for v in vals.values())  # cycle -> 1.0
+    top = g.aggregate(AGG.top_k_states, 2, state_col="rank")
+    assert top.count() == 2
+    assert g.for_vertex_with_id(0)["rank"] == vals[0]
+    ck = str(tmp_path / "gb_ck")
+    g.snapshot(ck)
+    g.last_state = None
+    restored = g.restore(ck)
+    assert {r["id"]: r["rank"] for r in restored.collect()} == vals
+    g.remove_vertex(2)
+    comp, _ = g.execute("connected_components", max_steps=10)
+    assert comp.count() == 2  # vertices 0,1 remain
+    g.shutdown()
+    assert g._infos == []
+
+
+def test_graph_builder_custom_kernel_and_errors(spark):
+    from signal_collect_spark import build_graph
+    from signal_collect_spark.algorithms.sssp import sssp_kernel
+
+    g = build_graph(spark, num_partitions=4)
+    with pytest.raises(ValueError, match="no state"):
+        g.for_vertex_with_id(0)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        g.add_edge(0, 1).execute("nope")
+    state, info = g.execute(sssp_kernel(0), max_steps=5)
+    assert {r["id"]: r["dist"] for r in state.select("id", "dist").collect()} == {0: 0.0, 1: 1.0}
+    g.shutdown()
+
+
+def test_personalized_pagerank_seeds_only(spark):
+    """Teleport mass restricted to a seed set: non-seed vertices get
+    rank only through propagation; an unreachable non-seed gets 0."""
+    e = G.edges_from_pairs(spark, [(1, 2), (2, 3), (9, 1)])
+    pers = spark.createDataFrame([(1, 1.0)], "id long, p double")
+    state, info = pagerank(spark, e, converge_tol=1e-12, max_steps=50, personalization=pers)
+    got = {r["id"]: r["rank"] for r in state.collect()}
+    assert abs(got[1] - 0.15) < 1e-9           # seed: no in-links from ranked mass
+    assert abs(got[2] - 0.15 * 0.85) < 1e-9    # one hop
+    assert got[9] == 0.0                        # non-seed, no in-links
+    info.release()
