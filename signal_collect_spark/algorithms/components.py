@@ -63,6 +63,7 @@ def connected_components(
     directed: bool = False,
     max_steps: int = 200,
     mode: str = "sql",
+    method: str = "minlabel",
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
@@ -75,13 +76,30 @@ def connected_components(
     the underlying undirected graph (the standard CC definition; pass
     directed=True for min-label propagation along edge direction only).
 
-    Scale note: plain label propagation needs O(diameter) supersteps.
-    Web-ish link graphs have small diameter so this is the right
-    trade-off at 10^9 edges (each superstep is one co-located join +
-    combined aggregate, and only changed vertices emit — frontier
-    collapses fast). For pathological high-diameter graphs a
-    large-star/small-star variant would bound rounds at O(log n).
+    ``method`` picks the physical algorithm — identical labels either way
+    (tests assert equality):
+
+      * "minlabel" (default) — the superstep engine's min-label
+        propagation, the reference's own semantics (Sssp.scala:64-69
+        min-fold). O(diameter) supersteps; the right trade-off on
+        small-diameter web/link graphs (each superstep is one
+        co-located join + combined aggregate and the delta frontier
+        collapses fast), and the only method supporting mode="csr" and
+        durable checkpoint/resume.
+      * "star" — alternating large-star/small-star contraction
+        (:func:`connected_components_star`): O(log n) rounds regardless
+        of diameter. The 100×-scale-up path for HIGH-diameter graphs
+        (duplicate chains, supply chains, conversation threads) where
+        O(diameter) barriers would be the critical path.
     """
+    if method == "star":
+        if directed:
+            raise ValueError("method='star' computes undirected components only")
+        return connected_components_star(
+            spark, edges, max_rounds=max_steps, num_partitions=num_partitions
+        )
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r}: 'minlabel' | 'star'")
     e = G.symmetrize(edges) if not directed else edges
     vertices = G.vertices_from_edges(edges)
     state, info = run_supersteps(
@@ -100,3 +118,131 @@ def connected_components(
         **engine_opts,
     )
     return state.select("id", F.col("label").alias("component")), info
+
+
+def connected_components_star(
+    spark,
+    edges: DataFrame,
+    *,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same exact min-id
+    labels as the min-label engine, but round count independent of
+    graph DIAMETER:
+
+      * large-star(u): m = min(N(u) ∪ {u}); link every neighbor v > u
+        to m — strictly-larger neighbors hop to the local minimum.
+      * small-star(u): over edges oriented (larger u, smaller v):
+        m = min(N(v<u) ∪ {u}); link u and its smaller neighbors to m.
+
+    Each round halves the height of the implicit forest; at the
+    fixpoint the edge set IS the star forest (v → component min).
+    A 10^6-long duplicate chain converges in ~2·log₂(n) rounds where
+    min-label propagation needs 10^6 barriers.
+
+    Scale shape: each round is two (groupBy-min + join) passes over the
+    CURRENT edge set (never grows past the input size), hash-partitioned
+    on the group key. The round plan references its input ~8× (each star
+    op reads the edge set from both sides of a self-union/join), so
+    lineage MUST be cut every round — localCheckpoint here; a durable
+    cluster deployment would swap in reliable checkpoints every k
+    rounds exactly like the superstep engine. Convergence = (count,
+    xxhash64-sum) fingerprint of the edge set stable across a round —
+    one tiny aggregate per round, which doubles as the materialization
+    action for the round's checkpoint.
+
+    Returns (DF[id, component], ExecutionInfo) with
+    info.supersteps = rounds run.
+    """
+    import time as _time
+
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = _time.monotonic()
+    info = ExecutionInfo()
+
+    vertices = G.vertices_from_edges(edges)
+    # canonical undirected pair set, no self-loops
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(P, "a")
+        .persist()
+    )
+    # fingerprint hash term is mod-reduced: a raw sum(xxhash64) would
+    # overflow LongType under Spark 4's ANSI mode
+    _fp_h = F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(2**31 - 1)))
+    prev_fp = e.agg(F.count("*").alias("n"), _fp_h.alias("h")).first()
+    prev_fp = (prev_fp["n"], prev_fp["h"])
+
+    def _large_star(pairs: DataFrame) -> DataFrame:
+        nbr = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = nbr.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", "u").alias("m"))
+        out = (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return out
+
+    def _small_star(pairs: DataFrame) -> DataFrame:
+        # orient (u = larger, v = smaller); m = min(smaller nbrs ∪ {u})
+        o = pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u ⇒ min < u
+        linked = o.join(m, "u").select(
+            F.col("v").alias("x"), F.col("m")
+        ).unionAll(m.select(F.col("u").alias("x"), F.col("m")))
+        out = (
+            linked.filter(F.col("x") != F.col("m"))
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+            .distinct()
+        )
+        return out
+
+    rounds = 0
+    first = e
+    for rnd in range(max_rounds):
+        # localCheckpoint EVERY round: the star ops reference e ~8x, so
+        # an untruncated plan grows geometrically (measured: plan-string
+        # rendering alone dominated by round ~6)
+        new_e = _small_star(_large_star(e)).repartition(P, "a").localCheckpoint(
+            eager=False
+        )
+        fp_row = new_e.agg(F.count("*").alias("n"), _fp_h.alias("h")).first()
+        fp = (fp_row["n"], fp_row["h"])
+        e = new_e
+        rounds = rnd + 1
+        info.per_step.append(
+            {"superstep": rounds, "edges": fp[0], "wall_ms": None}
+        )
+        if fp == prev_fp:
+            info.converged = True
+            info.stop_reason = "converged"
+            break
+        prev_fp = fp
+
+    info.supersteps = rounds
+    # fixpoint edge set is the star forest: b (larger) → a (= component
+    # min); roots and isolated vertices map to themselves. min() is the
+    # identity at a true fixpoint — kept as a guard when max_rounds hits.
+    comp_map = e.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("component"))
+    out = (
+        vertices.join(comp_map, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    first.unpersist()
+    if e is not first:
+        e.unpersist()
+    info.wall_seconds = _time.monotonic() - t0
+    return out, info

@@ -250,6 +250,9 @@ def dedup_pipeline(
     text_col: str = "text",
     hash_fn: str = "portable",
     max_bucket: int | None = 1000,
+    num_partitions: int | None = None,
+    max_steps: int = 50,
+    cc_method: str = "star",
 ) -> DataFrame:
     """End-to-end near-duplicate canonicalization — the composition a
     training-data pipeline actually runs, each stage the scale-shaped
@@ -259,13 +262,26 @@ def dedup_pipeline(
       2. exact word-shingle Jaccard computed ONLY on candidates
          (per-pair verify; shingles join candidate pairs, never
          all-pairs)
-      3. pairs ≥ threshold form a duplicate graph; the superstep
-         engine's min-label connected components gives each doc its
-         transitive duplicate class (dup-of-dup-of-dup collapses)
+      3. pairs ≥ threshold form a duplicate graph; connected components
+         give each doc its transitive duplicate class
+         (dup-of-dup-of-dup collapses)
       4. canonical id = min doc id of the class
 
     Returns (id, canonical_id) for EVERY doc (canonical_id = own id for
     uniques). Deterministic end to end.
+
+    Scale shape (r2 verdict #1): ``pairs`` — the LSH + per-pair-Jaccard
+    candidate stage, the dominant cost — is persisted ONCE and every
+    downstream consumer (the isEmpty gate, the CC engine's edge
+    partitioning) reads the cache; ``num_partitions`` defaults to the
+    session's shuffle partitions (was a hardcoded 8 — a serialization
+    bottleneck on a 100 TB dup graph). ``cc_method="star"`` (default)
+    routes the closure through the large-star/small-star CC variant
+    (O(log n) rounds — a duplicate CHAIN a→b→c→... has diameter = chain
+    length, and min-label CC would need that many barriers);
+    "minlabel" forces the superstep engine.
+    Non-convergence raises instead of silently splitting a transitive
+    class (ADVICE r2).
     """
     from signal_collect_spark.algorithms.components import connected_components
 
@@ -292,21 +308,32 @@ def dedup_pipeline(
         )
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .withColumn("weight", F.lit(1.0))
-    )
+    ).persist()
     all_ids = docs.select(F.col(id_col).alias("id")).distinct()
-    if pairs.isEmpty():
-        out = all_ids.select("id", F.col("id").alias("canonical_id"))
-        sh.unpersist()
+    try:
+        if pairs.isEmpty():
+            out = all_ids.select("id", F.col("id").alias("canonical_id"))
+            return out.localCheckpoint(eager=True)
+        comp, info = connected_components(
+            spark, pairs, method=cc_method, max_steps=max_steps,
+            num_partitions=num_partitions,
+        )
+        if not info.converged:
+            raise RuntimeError(
+                f"dedup_pipeline: connected components did not converge in "
+                f"{max_steps} rounds (stop_reason={info.stop_reason!r}) — "
+                "canonical classes would be split; raise max_steps"
+            )
+        out = (
+            all_ids.join(comp, "id", "left")
+            .select("id", F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"))
+        )
+        out = out.localCheckpoint(eager=True)
+        info.release()
         return out
-    comp, info = connected_components(spark, pairs, max_steps=30, num_partitions=8)
-    out = (
-        all_ids.join(comp, "id", "left")
-        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"))
-    )
-    out = out.localCheckpoint(eager=True)
-    info.release()
-    sh.unpersist()
-    return out
+    finally:
+        pairs.unpersist()
+        sh.unpersist()
 
 
 def simhash_signatures(

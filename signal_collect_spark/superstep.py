@@ -222,6 +222,13 @@ def run_supersteps(
                     F.ceil(F.col("__deg") / F.lit(hub_threshold)), F.lit(P)
                 ).cast("int").alias("__n_salt"),
             )
+            # __n_salt == 1 is only reachable via the P cap (deg > threshold
+            # already forces ceil >= 2); a 1-salt "hub" must NOT be treated
+            # as salted: its replica branch would explode sequence(1, 0) —
+            # which Spark evaluates DESCENDING to [1, 0] — adding a
+            # duplicate salt-0 frontier row that double-counts every hub
+            # edge (ADVICE r2). Salting is a no-op at P=1 anyway.
+            .filter(F.col("__n_salt") >= 2)
             .persist()
         )
         if hub_salts.count() == 0:
