@@ -642,6 +642,7 @@ def _q_pagerank_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         converge_tol=-1.0,  # run all GATED_STEPS supersteps
         max_steps=GATED_STEPS,
         check_every=5,
+        num_partitions=8,  # tiny sf0.01 graph: match the sibling queries
     )
     return state.select("id", F.round("rank", 6).alias("rank"))
 
@@ -898,6 +899,191 @@ FROM sedges a JOIN s0 ON a.src = s0.v
 JOIN sedges b ON b.src = a.dst"""
 
 
+def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(log n) large-star/small-star CC — identical exact labels to the
+    min-label engine (same oracle), rounds independent of diameter."""
+    edges = sparse_edges(spark, sf_dir)
+    state, _ = connected_components(
+        spark, edges, method="star", max_steps=40, num_partitions=8
+    )
+    return state.select("id", "component")
+
+
+# --- multimodal: documents -> real BMP/WAV payloads -> decode stats --------
+# The ingest UDF builds a REAL 16x16 8-bit BMP (and a 256-sample PCM-16
+# WAV) from each doc's first 256 UTF-8 bytes (zero-padded), and the
+# stats queries decode those payloads with the built-in pure-numpy
+# codecs (data/codecs.py). The DuckDB oracle recomputes the same stats
+# straight from the text characters (the corpus is ASCII, so byte ==
+# codepoint), which verifies the full encode -> decode round trip —
+# including BMP's bottom-up row order via row0_sum.
+
+MEDIA_BYTES = 256
+MEDIA_W = 16
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """The codec UDF closures reference signal_collect_spark modules,
+    which executor Python workers must be able to import. A spark-submit
+    deployment passes ``--py-files dist/signal_collect_spark.zip``
+    (scripts/submit_job.py); when the driver session was built without
+    it (e.g. the correctness harness), ship the same artifact lazily."""
+    import os
+
+    zip_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "dist", "signal_collect_spark.zip"
+    )
+    if os.path.exists(zip_path) and not getattr(spark, "_scs_pyfiles_added", False):
+        spark.sparkContext.addPyFile(zip_path)
+        spark._scs_pyfiles_added = True
+
+
+def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.data.codecs import encode_bmp_gray, encode_wav_pcm16
+
+    _ensure_pyfiles(spark)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def _ingest(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, imgs, wavs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8")[:MEDIA_BYTES], dtype=np.uint8)
+                px = np.zeros(MEDIA_BYTES, np.uint8)
+                px[: len(b)] = b
+                ids.append(did)
+                imgs.append(encode_bmp_gray(px.reshape(MEDIA_BYTES // MEDIA_W, MEDIA_W)))
+                wavs.append(encode_wav_pcm16(px.astype(np.int16), 8000))
+            yield pd.DataFrame({"media_id": ids, "img": imgs, "wav": wavs})
+
+    return docs.mapInPandas(_ingest, "media_id long, img binary, wav binary")
+
+
+def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.data import multimodal as M
+
+    media = _docs_media(spark, sf_dir).select(
+        "media_id",
+        F.col("img").alias("payload"),
+        F.struct(
+            F.lit(MEDIA_W).alias("width"),
+            F.lit(MEDIA_BYTES // MEDIA_W).alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("bmp8").alias("codec"),
+        ).alias("meta"),
+    )
+    return M.image_stats(media).select(
+        F.col("media_id").alias("id"), "width", "height", "pixel_sum", "row0_sum"
+    )
+
+
+def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from signal_collect_spark.data import multimodal as M
+
+    media = _docs_media(spark, sf_dir).select(
+        "media_id", F.col("wav").alias("payload")
+    )
+    return M.audio_stats(media).select(
+        F.col("media_id").alias("id"),
+        "n_samples",
+        "sample_rate",
+        "sample_sum",
+        "max_sample",
+    )
+
+
+def _media_byte_expr(limit_expr: str) -> str:
+    return (
+        f"SUM(CASE WHEN i <= {limit_expr} AND i <= length(d.text) "
+        "THEN ord(substr(d.text, CAST(i AS INT), 1)) ELSE 0 END)::BIGINT"
+    )
+
+
+def _image_stats_sql() -> str:
+    return f"""SELECT d.doc_id AS id,
+  CAST({MEDIA_W} AS INT) AS width, CAST({MEDIA_BYTES // MEDIA_W} AS INT) AS height,
+  {_media_byte_expr(MEDIA_BYTES)} AS pixel_sum,
+  {_media_byte_expr(MEDIA_W)} AS row0_sum
+FROM documents d, generate_series(1, {MEDIA_BYTES}) AS t(i)
+GROUP BY d.doc_id"""
+
+
+def _audio_stats_sql() -> str:
+    return f"""SELECT d.doc_id AS id,
+  CAST({MEDIA_BYTES} AS INT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+  {_media_byte_expr(MEDIA_BYTES)} AS sample_sum,
+  MAX(CASE WHEN i <= length(d.text) THEN ord(substr(d.text, CAST(i AS INT), 1)) ELSE 0 END)::INT AS max_sample
+FROM documents d, generate_series(1, {MEDIA_BYTES}) AS t(i)
+GROUP BY d.doc_id"""
+
+
+NEARDUP_COS_THRESHOLD = 0.35
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (verify-tier) mode so the
+    brute-force SQL oracle checks every pair; the LSH mode (same
+    operator, recall < 1 by construction) is pytest-recall-tested."""
+    pairs = S.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=NEARDUP_COS_THRESHOLD, mode="exact"
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def _embedding_neardup_sql() -> str:
+    return f"""WITH
+fc AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+nrm AS (SELECT nid, SQRT(SUM(v*v)) AS n FROM fc GROUP BY nid),
+dots AS (SELECT x.nid AS id_a, y.nid AS id_b, SUM(x.v * y.v) AS dot
+         FROM fc x JOIN fc y ON y.i = x.i AND x.nid < y.nid
+         GROUP BY x.nid, y.nid)
+SELECT id_a, id_b, ROUND(dot / (na.n * nb.n), 6) AS cos
+FROM dots JOIN nrm na ON na.nid = id_a JOIN nrm nb ON nb.nid = id_b
+WHERE dot / (na.n * nb.n) >= {NEARDUP_COS_THRESHOLD}"""
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization on the built-in session_window (streaming
+    surface, batch semantics — identical operator works on readStream):
+    one row per (user, session)."""
+    from signal_collect_spark.streaming import sessionize_native
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "value")
+    s = sessionize_native(ev, gap_seconds=SESSION_GAP_SECONDS)
+    return s.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        "session_seconds",
+    )
+
+
+def _sessions_sql() -> str:
+    # session_window boundary semantics (measured): an event EXACTLY
+    # gap seconds after the previous one MERGES into the same session,
+    # so a new session starts only at a STRICTLY greater gap
+    return f"""WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
+       (epoch(date_trunc('second', MAX(ts))) - epoch(date_trunc('second', MIN(ts))))::DOUBLE AS session_seconds
+FROM s GROUP BY user_id, sid"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -942,6 +1128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_coloring": _q_vertex_coloring,
         "path_query": _q_path_query,
         "path_query_star": _q_path_query_star,
+        "connected_components_star": _q_cc_star,
+        "image_decode_stats": _q_image_decode_stats,
+        "audio_decode_stats": _q_audio_decode_stats,
+        "sessions": _q_sessions,
+        "embedding_neardup": _q_embedding_neardup,
     }
 
 
@@ -1093,4 +1284,9 @@ SELECT count(*) AS n_vertices, CAST(0 AS BIGINT) AS n_conflicts,
 FROM sverts""",
         "path_query": _path_query_sql(),
         "path_query_star": _path_query_star_sql(),
+        "connected_components_star": _cc_sql(),
+        "image_decode_stats": _image_stats_sql(),
+        "audio_decode_stats": _audio_stats_sql(),
+        "sessions": _sessions_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
     }

@@ -3,6 +3,13 @@
 Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Repetition protocol (r2 verdict: single runs on this box carry ±25%
+run-to-run variance, which made the r2-vs-r1 delta unadjudicable):
+the measured suite runs $SPARK_GRAFT_REPEATS times (default 3) in one
+JVM after an untimed JIT warmup; reported per-query numbers are
+MEDIANS, with min/max alongside. The headline ``value`` is the sum of
+per-query medians.
+
 The flagship metric mirrors BASELINE.json: PageRank supersteps/sec and
 edges/sec to 1e-6-equivalent convergence on a link graph derived from
 lineitem (~|E| = 0.6M at sf0.1), plus CC/LP/triangles and the
@@ -14,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,20 +48,9 @@ def bench_graph(spark, sf_dir):
     return edges
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from signal_collect_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
-    )
+def run_suite(spark, sf_dir, edges, n_edges, extra):
+    """One full pass over the measured queries; returns {name: seconds}
+    and updates ``extra`` with run-invariant facts."""
     from pyspark.sql import functions as F
 
     from signal_collect_spark.algorithms import (
@@ -69,18 +66,6 @@ def main() -> None:
     from signal_collect_spark.fixtures import make_source_files
 
     queries: dict[str, float] = {}
-    extra: dict[str, object] = {}
-
-    edges = bench_graph(spark, sf_dir).persist()
-    n_edges = edges.count()
-    extra["graph_edges"] = n_edges
-    log(f"bench graph: {n_edges} edges")
-
-    # JIT warmup (untimed): first-run codegen/JIT inflates per-step cost ~2x
-    _, winfo = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
-                        max_steps=6, check_every=3)
-    winfo.release()  # frees the persisted final state (ADVICE r1)
-    log("warmup done")
 
     # --- flagship: PageRank to 1e-6-equivalent convergence -----------------
     t0 = time.monotonic()
@@ -91,8 +76,6 @@ def main() -> None:
     queries["pagerank"] = time.monotonic() - t0
     extra["pagerank_supersteps"] = info.supersteps
     extra["pagerank_converged"] = info.converged
-    extra["pagerank_supersteps_per_sec"] = round(info.supersteps / queries["pagerank"], 3)
-    extra["pagerank_edges_per_sec"] = round(n_edges * info.supersteps / queries["pagerank"], 1)
     log(f"pagerank: {info.supersteps} supersteps in {queries['pagerank']:.1f}s")
     info.release()
 
@@ -103,7 +86,6 @@ def main() -> None:
     queries["connected_components"] = time.monotonic() - t0
     extra["cc_supersteps"] = cinfo.supersteps
     extra["cc_components"] = n_comp
-    log(f"cc: {cinfo.supersteps} supersteps, {n_comp} components in {queries['connected_components']:.1f}s")
     cinfo.release()
 
     # --- label propagation (5 synchronous rounds) ---------------------------
@@ -158,13 +140,63 @@ def main() -> None:
     TS.doc_fingerprint(docs, hash_fn="xxhash64").count()
     queries["text_stats"] = time.monotonic() - t0
 
+    return queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from signal_collect_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
+    from signal_collect_spark.algorithms import pagerank
+
+    extra: dict[str, object] = {}
+    edges = bench_graph(spark, sf_dir).persist()
+    n_edges = edges.count()
+    extra["graph_edges"] = n_edges
+    log(f"bench graph: {n_edges} edges")
+
+    # JIT warmup (untimed): first-run codegen/JIT inflates per-step cost ~2x
+    _, winfo = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
+                        max_steps=6, check_every=3)
+    winfo.release()
+    log("warmup done")
+
+    runs: list[dict[str, float]] = []
+    for i in range(repeats):
+        log(f"--- measured run {i + 1}/{repeats} ---")
+        runs.append(run_suite(spark, sf_dir, edges, n_edges, extra))
+
+    names = list(runs[0])
+    med = {k: statistics.median(r[k] for r in runs) for k in names}
+    qmin = {k: min(r[k] for r in runs) for k in names}
+    qmax = {k: max(r[k] for r in runs) for k in names}
+    total = sum(med.values())
+    pr_med = med["pagerank"]
+    steps = extra["pagerank_supersteps"]
+    extra["pagerank_supersteps_per_sec"] = round(steps / pr_med, 3)
+    extra["pagerank_edges_per_sec"] = round(n_edges * steps / pr_med, 1)
+
     edges.unpersist()
-    total = sum(queries.values())
     out = {
-        "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 + cc + lp + triangles + ingest + dedup + ann + textstats)",
+        "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 + cc + lp "
+        f"+ triangles + ingest + dedup + ann + textstats); median of {repeats} runs",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "queries": {k: round(v, 3) for k, v in med.items()},
+        "queries_min": {k: round(v, 3) for k, v in qmin.items()},
+        "queries_max": {k: round(v, 3) for k, v in qmax.items()},
+        "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         **extra,

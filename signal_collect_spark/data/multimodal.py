@@ -1,20 +1,19 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
-
-The Spark-side machinery (schemas, partition-size control, Arrow batch
-shape, vectorized UDF signatures) is REAL and tested; the codec step is
-STUBBED — this container has no image/audio libraries, so decode is a
-deterministic fake behind ``decoder=`` (production swaps in
-PIL/torchaudio/av without touching the plumbing) and
-``decode_image(..., decoder=None)`` raises NotImplementedError.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, plus REAL built-in codecs for BMP images and PCM WAV
+audio (pure numpy — codecs.py), so decode → feature-extract runs end to
+end in this container. Formats with no in-container codec (JPEG/PNG,
+video containers) raise NotImplementedError from the dispatch; richer
+codecs are injected via ``decoder=`` (e.g. a PIL-backed callable)
+without touching the Spark plumbing.
 
 Scale notes:
   * binary payloads ride in their own column — never group/sort by it;
     metadata predicates (width/height/codec) push down on the typed
     struct columns and prune parquet row groups.
-  * ``maxRecordsPerBatch`` bounds Arrow batch bytes when payloads are
-    MBs; per-file streaming would use binaryFile source + mapInPandas,
-    identical UDF shape.
+  * all decode stages are Arrow-batched mapInPandas; ``spark.sql.
+    execution.arrow.maxRecordsPerBatch`` bounds batch bytes when
+    payloads are MBs. Per-file ingest at scale uses the binaryFile
+    source with the identical UDF shape.
 """
 
 from __future__ import annotations
@@ -24,6 +23,13 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from signal_collect_spark.data.codecs import (
+    decode_bmp_gray,
+    decode_wav_pcm16,
+    encode_bmp_gray,
+    encode_wav_pcm16,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -45,12 +51,30 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = "media_id long, feat array<float>"
+IMAGE_STATS_SCHEMA = "media_id long, width int, height int, pixel_sum long, row0_sum long"
+AUDIO_STATS_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, sample_sum long, max_sample int"
+)
+
+
+def builtin_image_decoder(payload: bytes, meta) -> "object":
+    """Magic-byte dispatch to the built-in codecs: BMP decodes for real;
+    formats without an in-container codec raise NotImplementedError
+    (inject a PIL/torchvision-backed ``decoder=`` in production)."""
+    if payload[:2] == b"BM":
+        return decode_bmp_gray(payload)
+    magic = bytes(payload[:4])
+    name = {b"\xff\xd8\xff": "JPEG", b"\x89PNG": "PNG"}.get(magic[:3], repr(magic))
+    raise NotImplementedError(
+        f"no {name} codec available in this environment; pass decoder= "
+        "(e.g. a PIL-backed callable) for formats beyond BMP"
+    )
 
 
 def fake_decoder(payload: bytes, meta) -> "object":
-    """Deterministic stand-in codec: payload bytes → (h, w) uint8 array
-    derived from a seeded generator keyed on the payload hash. Replaces
-    PIL.Image.open in this container."""
+    """Deterministic TEST stand-in codec: payload bytes → (h, w) uint8
+    array from a seeded generator keyed on the payload hash. Used to
+    exercise the plumbing with arbitrary payload bytes."""
     import numpy as np  # noqa: PLC0415
 
     h = meta["height"] or 4
@@ -60,17 +84,14 @@ def fake_decoder(payload: bytes, meta) -> "object":
     return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
 
 
-def decode_image(payload: bytes, meta, decoder: Callable | None = fake_decoder):
-    if decoder is None:
-        raise NotImplementedError(
-            "no image codec available in this environment; pass decoder="
-            "PIL-backed callable in production"
-        )
-    return decoder(payload, meta)
+def decode_image(payload: bytes, meta, decoder: Callable | None = None):
+    """payload → (h, w) uint8 array; ``decoder=None`` uses the built-in
+    magic-byte dispatch (BMP real, others NotImplementedError)."""
+    return (decoder or builtin_image_decoder)(bytes(payload), meta)
 
 
 def extract_features(
-    media: DataFrame, decoder: Callable | None = fake_decoder, pool: int = 2
+    media: DataFrame, decoder: Callable | None = None, pool: int = 2
 ) -> DataFrame:
     """Vectorized feature extraction: decode each payload, {pool×pool}
     average-pool, emit a flat float feature vector. One Arrow batch in,
@@ -83,7 +104,7 @@ def extract_features(
         for pdf in batches:
             ids, feats = [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                img = decode_image(bytes(payload), meta, decoder=decoder).astype(np.float32)
+                img = decode_image(payload, meta, decoder=decoder).astype(np.float32)
                 h, w = img.shape
                 hh, ww = h // pool * pool, w // pool * pool
                 pooled = img[:hh, :ww].reshape(hh // pool, pool, ww // pool, pool).mean((1, 3))
@@ -94,6 +115,66 @@ def extract_features(
     return media.select("media_id", "payload", "meta").mapInPandas(
         _featurize, FEATURE_SCHEMA
     )
+
+
+def image_stats(media: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Decode every image payload (built-in BMP codec by default) and
+    emit per-image stats: (media_id, width, height, pixel_sum,
+    row0_sum). ``row0_sum`` is the sum of the TOP pixel row — it proves
+    the decoder un-flips BMP's bottom-up row order, which a whole-image
+    checksum could not detect."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = decode_image(payload, meta, decoder=decoder)
+                rows.append(
+                    (
+                        mid,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.astype("int64").sum()),
+                        int(img[0].astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "pixel_sum", "row0_sum"]
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        _stats, IMAGE_STATS_SCHEMA
+    )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every audio payload (built-in PCM-WAV codec) and emit
+    (media_id, n_samples, sample_rate, sample_sum, max_sample)."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav_pcm16(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        int(len(samples)),
+                        int(rate),
+                        int(samples.astype("int64").sum()),
+                        int(samples.max()) if len(samples) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "sample_sum", "max_sample"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_stats, AUDIO_STATS_SCHEMA)
 
 
 def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
@@ -113,8 +194,9 @@ def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
     """(media_id, frame_idx) plan for videos: frames 0, n, 2n, ... —
-    sequence() expression, no UDF; the decode of chosen frames is the
-    extract_features stage."""
+    sequence() expression, no UDF. Decoding the chosen frames needs a
+    container codec (none in this environment — inject via decoder=);
+    the plan + the extract_features UDF shape are the real parts."""
     return media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(
@@ -126,14 +208,27 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
 
 
 def make_media_fixture(spark, n: int = 16) -> DataFrame:
-    """Deterministic binary fixture (no external data)."""
-    import hashlib
+    """Deterministic media fixture with REAL payloads: images are
+    actual 8-bit BMPs, audio rows actual PCM-16 WAVs (both built by
+    codecs.py); video rows carry frame metadata only (no container
+    codec in this environment)."""
+    import numpy as np  # noqa: PLC0415
 
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
         kind = ["image", "audio", "video"][i % 3]
-        rows.append(
-            (i, kind, bytearray(payload), (8 + i % 4, 8 + (i * 3) % 4, 10 + i, "fake"))
-        )
+        if kind == "image":
+            h, w = 8 + i % 4, 8 + (i * 3) % 4
+            px = ((np.arange(h * w).reshape(h, w) * (i + 7)) % 256).astype(np.uint8)
+            rows.append((i, kind, bytearray(encode_bmp_gray(px)), (w, h, None, "bmp8")))
+        elif kind == "audio":
+            ns = 64 + i
+            samples = ((np.arange(ns, dtype=np.int64) * (31 + i)) % 4096 - 2048).astype(
+                np.int16
+            )
+            rows.append(
+                (i, kind, bytearray(encode_wav_pcm16(samples, 8000)), (None, None, None, "pcm16"))
+            )
+        else:
+            rows.append((i, kind, None, (None, None, 10 + i, "raw-frames")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

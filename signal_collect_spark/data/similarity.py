@@ -158,13 +158,25 @@ def ivf_train(
     vec_col: str = "embedding",
 ):
     """Train an IVF coarse quantizer: numpy mini-k-means over a
-    deterministic sample (first ``sample`` ids — ≤ a few MB on the
-    driver; the full corpus is never collected). Returns a unit-
-    normalized (n_centroids, dim) ndarray. Spherical k-means
-    (cosine assignment) since the search metric is cosine."""
+    deterministic sample (≤ a few MB on the driver; the full corpus is
+    never collected). Returns a unit-normalized (n_centroids, dim)
+    ndarray. Spherical k-means (cosine assignment) since the search
+    metric is cosine.
+
+    The sample is taken in ``xxhash64(id)`` order (r2 verdict #6), NOT
+    id order: still deterministic, but content-decorrelated. In real
+    corpora ids correlate with content (crawl order, shard order), so
+    the first-N-ids sample would show the quantizer one biased region
+    and recall at low nprobe silently degrades
+    (test_ivf_hash_sampling_decorrelates)."""
     import numpy as np  # noqa: PLC0415
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
     x = np.array([r[vec_col] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -274,6 +286,78 @@ def ivf_topk(
 
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    mode: str = "lsh",
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
+    n_probes: int = 1,
+    max_exact: int = 20_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs:
+    (id_a < id_b, cos) with cos ≥ threshold — the embedding-space
+    sibling of the text near-dup operators (ngram_jaccard / minhash).
+
+    ``mode="lsh"`` (default, the 10^9-vector shape): candidates are
+    restricted to pairs sharing a hyperplane bucket (equi-join on the
+    sign-pattern — linear shuffle, no O(n²)), then exact cosine
+    verifies each candidate. Recall < 1 for pairs split by a plane;
+    ``n_probes`` > 1 additionally probes Hamming-1 buckets on ONE side
+    of the self-join (a pair is tested once under id_a < id_b, so
+    one-side probing covers it), and ``max_bucket`` is the hot-bucket
+    guard (same rationale as :func:`lsh_bucketed_topk`).
+
+    ``mode="exact"``: all-pairs verify tier, guarded at ``max_exact``
+    rows — the oracle-able small-corpus path, NOT a 100 TB path.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if mode == "exact":
+        n = corpus.count()
+        if n > max_exact:
+            raise ValueError(
+                f"mode='exact' is O(n²) and guarded at {max_exact} rows (got {n}); "
+                "use mode='lsh' at scale"
+            )
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        cb = hyperplane_buckets(corpus, n_planes, dim, id_col=id_col, vec_col=vec_col)
+        if max_bucket is not None:
+            ok = (
+                cb.groupBy("bucket")
+                .agg(F.count("*").alias("__bsz"))
+                .filter(F.col("__bsz") <= F.lit(max_bucket))
+                .drop("__bsz")
+            )
+            cb = cb.join(ok, "bucket", "left_semi")
+        ca = cb.withColumnRenamed("id", "id_a")
+        if n_probes > 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(min(n_probes - 1, n_planes))
+                ],
+            )
+            ca = ca.select("id_a", F.explode(probes).alias("bucket")).distinct()
+        pair_ids = (
+            ca.join(cb.withColumnRenamed("id", "id_b"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = pair_ids.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown mode {mode!r}: 'lsh' | 'exact'")
+    return cand.select(
+        "id_a", "id_b", _cos_expr(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= F.lit(threshold))
 
 
 def hyperplane_buckets(

@@ -15,9 +15,11 @@ checkpoint), so nothing in this file adds execution semantics.
     g.shutdown()
 
 Immutability note: Spark DataFrames are immutable, so "mutation"
-returns/replaces the graph's edge table (one lineage step per call) —
-batch many edges per call (``add_edges``) instead of looping
-``add_edge`` at scale.
+replaces the graph's edge table. Added edges are BUFFERED driver-side
+and flushed as ONE union+dedup at the next read/execute boundary
+(r2 verdict #9: a per-call ``unionAll().distinct()`` cost one shuffle
+and one lineage step per add_edge call); still prefer one big
+``add_edges`` batch over a Python loop at scale.
 """
 
 from __future__ import annotations
@@ -61,7 +63,8 @@ class SparkGraph:
 
     def __init__(self, spark, edges: DataFrame | None = None, num_partitions: int | None = None):
         self.spark = spark
-        self.edges = edges if edges is not None else G.edges_from_pairs(spark, [])
+        self._edges = edges if edges is not None else G.edges_from_pairs(spark, [])
+        self._pending: list[tuple] = []  # buffered adds, flushed lazily
         self.num_partitions = num_partitions
         self.last_state: DataFrame | None = None
         self._infos: list[ExecutionInfo] = []
@@ -72,18 +75,36 @@ class SparkGraph:
         return self.add_edges([(src, dst, weight)])
 
     def add_edges(self, pairs) -> "SparkGraph":
-        new = G.edges_from_pairs(self.spark, list(pairs))
-        self.edges = self.edges.unionAll(new).distinct()
+        # buffer only: the union+dedup happens ONCE at the next
+        # read/execute boundary, not per mutation call
+        self._pending.extend(tuple(p) for p in pairs)
         return self
+
+    def _flush(self) -> None:
+        if self._pending:
+            new = G.edges_from_pairs(self.spark, self._pending)
+            self._edges = self._edges.unionAll(new).distinct()
+            self._pending = []
+
+    @property
+    def edges(self) -> DataFrame:
+        self._flush()
+        return self._edges
+
+    @edges.setter
+    def edges(self, df: DataFrame) -> None:
+        self._pending = []
+        self._edges = df
 
     def remove_vertex(self, vertex_id: int) -> "SparkGraph":
         ids = self.spark.createDataFrame([(int(vertex_id),)], "id long")
-        _, self.edges = MU.remove_vertices(self.vertices(), self.edges, ids)
+        verts = G.vertices_from_edges(self.edges)  # flushes pending adds
+        _, self._edges = MU.remove_vertices(verts, self._edges, ids)
         return self
 
     def remove_edge(self, src: int, dst: int) -> "SparkGraph":
         pair = self.spark.createDataFrame([(int(src), int(dst))], "src long, dst long")
-        self.edges = MU.remove_edges(self.edges, pair)
+        self._edges = MU.remove_edges(self.edges, pair)  # flushes first
         return self
 
     def vertices(self) -> DataFrame:

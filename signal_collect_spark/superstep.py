@@ -165,6 +165,7 @@ def run_supersteps(
     check_every: int = 1,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
+    checkpoint_tag: str | None = None,
     resume: bool = False,
 ) -> tuple[DataFrame, ExecutionInfo]:
     """Run the bounded synchronous superstep loop to convergence.
@@ -252,7 +253,11 @@ def run_supersteps(
     else:
         edges_p = G.partition_edges(edges, P).persist()
 
-    ckpt = CheckpointManager(spark, checkpoint_dir) if checkpoint_dir else None
+    ckpt = (
+        CheckpointManager(spark, checkpoint_dir, tag=checkpoint_tag)
+        if checkpoint_dir
+        else None
+    )
     start_step = 0
     state = None
     if resume and ckpt is not None:

@@ -171,3 +171,240 @@ def test_dedup_pipeline_raises_on_nonconvergence(spark):
             spark, _neardup_docs(spark), n=2, threshold=0.3, num_hashes=16,
             bands=8, max_steps=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# real multimodal codecs (r2 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_codec_roundtrip_exact():
+    import numpy as np
+
+    from signal_collect_spark.data import codecs as CC
+
+    for h, w in [(1, 1), (3, 5), (16, 16), (7, 13)]:  # incl. padded widths
+        px = ((np.arange(h * w).reshape(h, w) * 37 + 11) % 256).astype(np.uint8)
+        payload = CC.encode_bmp_gray(px)
+        assert payload[:2] == b"BM"
+        back = CC.decode_bmp_gray(payload)
+        assert back.shape == (h, w)
+        assert (back == px).all()  # incl. row order (BMP stores bottom-up)
+
+
+def test_wav_codec_roundtrip_exact():
+    import numpy as np
+
+    from signal_collect_spark.data import codecs as CC
+
+    s = ((np.arange(777, dtype=np.int64) * 313) % 65536 - 32768).astype(np.int16)
+    payload = CC.encode_wav_pcm16(s, 16_000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    back, rate = CC.decode_wav_pcm16(payload)
+    assert rate == 16_000
+    assert (back == s).all()
+
+
+def test_media_stats_over_real_payloads(spark):
+    import numpy as np
+
+    from signal_collect_spark.data import multimodal as M
+
+    media = M.make_media_fixture(spark, n=9)
+    ist = {r["media_id"]: r for r in M.image_stats(media.filter("kind='image'")).collect()}
+    m0 = media.filter("media_id = 0").first()
+    h, w = m0["meta"]["height"], m0["meta"]["width"]
+    px = ((np.arange(h * w).reshape(h, w) * 7) % 256).astype(np.int64)  # i=0 pattern
+    assert (ist[0]["width"], ist[0]["height"]) == (w, h)
+    assert ist[0]["pixel_sum"] == int(px.sum())
+    assert ist[0]["row0_sum"] == int(px[0].sum())  # top row => un-flip is right
+
+    ast = {r["media_id"]: r for r in M.audio_stats(media.filter("kind='audio'")).collect()}
+    ns = 64 + 1
+    s = ((np.arange(ns, dtype=np.int64) * 32) % 4096 - 2048).astype(np.int64)  # i=1
+    assert ast[1]["n_samples"] == ns and ast[1]["sample_rate"] == 8000
+    assert ast[1]["sample_sum"] == int(s.sum()) and ast[1]["max_sample"] == int(s.max())
+
+
+def test_checkpoint_manifest_and_tag_guard(spark, tmp_path):
+    """r2 verdict #8: every checkpoint writes a manifest (superstep,
+    rows, sum_state, schema fingerprint, tag); restore REFUSES a tag
+    mismatch — resuming a fixpoint onto a changed input."""
+    from signal_collect_spark.checkpoint import CheckpointManager
+
+    d = str(tmp_path / "ck")
+    state = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, state double")
+    ck = CheckpointManager(spark, d, tag="edge_log_v0")
+    ck.save(state, superstep=5)
+    m = ck.manifest()
+    assert m["superstep"] == 5 and m["rows"] == 2 and m["sum_state"] == 5.0
+    assert m["tag"] == "edge_log_v0" and "id" in m["schema"]
+
+    # same tag restores; grown-input tag refuses
+    restored, step = CheckpointManager(spark, d, tag="edge_log_v0").restore()
+    assert step == 5 and restored.count() == 2
+    with pytest.raises(ValueError, match="tag mismatch"):
+        CheckpointManager(spark, d, tag="edge_log_v1").restore()
+    # a tag-less manager stays backward compatible
+    assert CheckpointManager(spark, d).restore()[1] == 5
+
+
+def test_rank_refresh_refuses_grown_edge_log(spark, tmp_path):
+    from signal_collect_spark import fixtures as FX
+    from signal_collect_spark import streaming as ST
+
+    log_dir, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    edges = FX.edges_df(spark, FX.star5())
+    edges.write.parquet(f"{log_dir}/batch_id=0")
+    state, info = ST.rank_refresh(
+        spark, log_dir, ck, max_steps=4, converge_tol=0.0, check_every=2,
+        checkpoint_every=2, num_partitions=4,
+    )
+    info.release()
+    # grow the log: same engine checkpoint dir must now refuse to resume
+    edges.selectExpr("src + 10 as src", "dst + 10 as dst", "weight").write.parquet(
+        f"{log_dir}/batch_id=1"
+    )
+    with pytest.raises(ValueError, match="tag mismatch"):
+        ST.rank_refresh(
+            spark, log_dir, ck, max_steps=4, converge_tol=0.0, check_every=2,
+            checkpoint_every=2, num_partitions=4,
+        )
+
+
+def test_facade_add_edges_batches_dedup(spark):
+    """r2 verdict #9: N add_edge calls must produce ONE union+distinct
+    at the next read boundary, not one shuffle per call."""
+    from signal_collect_spark import build_graph
+
+    g = build_graph(spark, num_partitions=4)
+    g.add_edge(0, 1).add_edge(1, 2).add_edge(2, 0).add_edge(0, 1)  # dup add
+    assert len(g._pending) == 4  # nothing flushed yet
+    plan = g.edges._jdf.queryExecution().optimizedPlan().toString()
+    # one dedup pass (Catalyst plans distinct as a group-all Aggregate)
+    # over ONE union — not a union+dedup per add_edge call
+    assert plan.startswith("Aggregate")
+    assert plan.count("Union") == 1 and plan.count("Aggregate") == 1
+    assert g.edges.count() == 3
+    ranks, info = g.execute("pagerank", max_steps=4, converge_tol=0.0, check_every=4)
+    assert ranks.count() == 3
+    g.shutdown()
+
+
+def test_ivf_hash_sampling_decorrelates(spark):
+    """r2 verdict #6: ids sorted BY CLUSTER (the realistic crawl/shard-
+    order correlation) must not bias the quantizer sample. The sample
+    (64) is smaller than the first cluster (100), so id-order sampling
+    would see ONLY cluster 0 (measured coverage of clusters 1-3 then:
+    cos <= 0.04); hash-order covers all four (cos >= 0.9 each)."""
+    import numpy as np
+
+    from signal_collect_spark.data import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):
+        axis = np.zeros(8)
+        axis[c * 2] = 1.0
+        for i in range(100):
+            v = axis + rng.normal(0, 0.05, 8)
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.ivf_train(emb, n_centroids=4, dim=8, sample=64, iters=8)
+    for c in range(4):
+        axis = np.zeros(8)
+        axis[c * 2] = 1.0
+        assert float((np.asarray(cents) @ axis).max()) > 0.9, f"cluster {c} uncovered"
+
+
+def test_embedding_neardup_exact_and_lsh(spark):
+    """Embedding-cosine near-dup pairs: exact mode matches a numpy
+    all-pairs oracle; LSH mode returns a SUBSET of it (verified pairs
+    only) and recovers every planted near-duplicate."""
+    import numpy as np
+
+    from signal_collect_spark.data import similarity as S
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    vecs = list(base)
+    # plant 10 near-dups of the first 10 vectors (ids 100+i)
+    ids = list(range(30))
+    for i in range(10):
+        vecs.append(base[i] + rng.normal(0, 0.005, 16))
+        ids.append(100 + i)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m = np.stack(vecs)
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c = n @ n.T
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if c[i, j] >= 0.9
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(emb, threshold=0.9, mode="exact", dim=16).collect()
+    }
+    assert exact == truth and len(truth) >= 10
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(
+            emb, threshold=0.9, mode="lsh", dim=16, n_planes=6, n_probes=7
+        ).collect()
+    }
+    assert lsh <= exact
+    planted = {(i, 100 + i) for i in range(10)}
+    assert planted <= lsh  # every planted near-dup recovered
+
+
+def test_sessionize_boundary_exact_gap(spark, tmp_path):
+    """ADVICE r2 asked to pin down the exact-gap boundary. Measured:
+    session_window MERGES an event exactly gap_seconds after the
+    previous one (closed gap boundary) — so the stateful operator's
+    strict `>` is the matching semantics. Both operators must agree;
+    a strictly larger gap must split."""
+    import datetime as dt
+
+    from signal_collect_spark import streaming as ST
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(seconds=1800), 2.0),      # exact gap: merges
+        (1, base + dt.timedelta(seconds=1800 * 2 + 1), 4.0),  # gap+1s: splits
+        (2, base, 7.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, u, "click", v, "{}") for i, (u, t, v) in enumerate(rows)],
+        ST.EVENT_SCHEMA,
+    )
+    nat = {
+        (r["user_id"], r["n_events"], r["sum_value"], r["session_seconds"])
+        for r in ST.sessionize_native(df, gap_seconds=1800).collect()
+    }
+    assert nat == {(1, 2, 3.0, 1800.0), (1, 1, 4.0, 0.0), (2, 1, 7.0, 0.0)}
+
+    d = str(tmp_path / "ev")
+    df.write.parquet(d)
+    q = (
+        ST.sessionize(ST.read_event_stream(spark, d), gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("s_boundary")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = {
+        (r["user_id"], r["n_events"], r["sum_value"], r["session_seconds"])
+        for r in spark.sql("select * from s_boundary").collect()
+    }
+    # the first (2-event, exact-gap-merged) session closes in-batch when
+    # the gap+1s event arrives — identical grouping to session_window
+    assert closed == {(1, 2, 3.0, 1800.0)}
