@@ -920,6 +920,8 @@ def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIA_BYTES = 256
 MEDIA_W = 16
+MEDIA_FRAMES = 3
+FRAME_SAMPLE_EVERY = 2
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
@@ -939,7 +941,11 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 
 
 def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from signal_collect_spark.data.codecs import encode_bmp_gray, encode_wav_pcm16
+    from signal_collect_spark.data.codecs import (
+        encode_bmp_gray,
+        encode_wav_pcm16,
+        encode_y4m_mono,
+    )
 
     _ensure_pyfiles(spark)
 
@@ -950,17 +956,30 @@ def _docs_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            ids, imgs, wavs = [], [], []
+            ids, imgs, wavs, vids = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
-                b = np.frombuffer(text.encode("utf-8")[:MEDIA_BYTES], dtype=np.uint8)
+                raw = text.encode("utf-8")
+                b = np.frombuffer(raw[:MEDIA_BYTES], dtype=np.uint8)
                 px = np.zeros(MEDIA_BYTES, np.uint8)
                 px[: len(b)] = b
                 ids.append(did)
                 imgs.append(encode_bmp_gray(px.reshape(MEDIA_BYTES // MEDIA_W, MEDIA_W)))
                 wavs.append(encode_wav_pcm16(px.astype(np.int16), 8000))
-            yield pd.DataFrame({"media_id": ids, "img": imgs, "wav": wavs})
+                # video: MEDIA_FRAMES frames, frame k = text bytes
+                # [k*MEDIA_BYTES, (k+1)*MEDIA_BYTES) zero-padded
+                vb = np.frombuffer(raw[: MEDIA_BYTES * MEDIA_FRAMES], dtype=np.uint8)
+                vpx = np.zeros(MEDIA_BYTES * MEDIA_FRAMES, np.uint8)
+                vpx[: len(vb)] = vb
+                vids.append(
+                    encode_y4m_mono(
+                        vpx.reshape(MEDIA_FRAMES, MEDIA_BYTES // MEDIA_W, MEDIA_W)
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "img": imgs, "wav": wavs, "vid": vids}
+            )
 
-    return docs.mapInPandas(_ingest, "media_id long, img binary, wav binary")
+    return docs.mapInPandas(_ingest, "media_id long, img binary, wav binary, vid binary")
 
 
 def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1015,53 @@ def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the per-doc Y4M stream (built-in pure-numpy codec) and
+    report per-video stats; frame0_sum pins frame ORDER against the
+    byte-sum oracle."""
+    from signal_collect_spark.data import multimodal as M
+
+    media = _docs_media(spark, sf_dir).select(
+        "media_id",
+        F.col("vid").alias("payload"),
+        F.struct(
+            F.lit(MEDIA_W).alias("width"),
+            F.lit(MEDIA_BYTES // MEDIA_W).alias("height"),
+            F.lit(MEDIA_FRAMES).alias("n_frames"),
+            F.lit("y4m-mono").alias("codec"),
+        ).alias("meta"),
+    )
+    return M.video_stats(media).select(
+        F.col("media_id").alias("id"),
+        "n_frames",
+        "width",
+        "height",
+        "pixel_sum",
+        "frame0_sum",
+    )
+
+
+def _q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every FRAME_SAMPLE_EVERY-th frame) with real
+    decode: per sampled frame, its pixel sum — the slice-sum oracle
+    verifies both which frames were chosen and their decoded content."""
+    from signal_collect_spark.data import multimodal as M
+
+    media = _docs_media(spark, sf_dir).select(
+        "media_id",
+        F.col("vid").alias("payload"),
+        F.struct(
+            F.lit(MEDIA_W).alias("width"),
+            F.lit(MEDIA_BYTES // MEDIA_W).alias("height"),
+            F.lit(MEDIA_FRAMES).alias("n_frames"),
+            F.lit("y4m-mono").alias("codec"),
+        ).alias("meta"),
+    )
+    return M.sample_frames_decode(media, every_n=FRAME_SAMPLE_EVERY).select(
+        F.col("media_id").alias("id"), "frame_idx", "frame_sum"
+    )
+
+
 def _media_byte_expr(limit_expr: str) -> str:
     return (
         f"SUM(CASE WHEN i <= {limit_expr} AND i <= length(d.text) "
@@ -1010,6 +1076,30 @@ def _image_stats_sql() -> str:
   {_media_byte_expr(MEDIA_W)} AS row0_sum
 FROM documents d, generate_series(1, {MEDIA_BYTES}) AS t(i)
 GROUP BY d.doc_id"""
+
+
+def _video_stats_sql() -> str:
+    total = MEDIA_BYTES * MEDIA_FRAMES
+    return f"""SELECT d.doc_id AS id,
+  CAST({MEDIA_FRAMES} AS INT) AS n_frames,
+  CAST({MEDIA_W} AS INT) AS width, CAST({MEDIA_BYTES // MEDIA_W} AS INT) AS height,
+  {_media_byte_expr(total)} AS pixel_sum,
+  {_media_byte_expr(MEDIA_BYTES)} AS frame0_sum
+FROM documents d, generate_series(1, {total}) AS t(i)
+GROUP BY d.doc_id"""
+
+
+def _video_frame_sample_sql() -> str:
+    frames = ", ".join(
+        f"({f})" for f in range(0, MEDIA_FRAMES, FRAME_SAMPLE_EVERY)
+    )
+    return f"""SELECT d.doc_id AS id, CAST(f.fi AS INT) AS frame_idx,
+  SUM(CASE WHEN f.fi * {MEDIA_BYTES} + i <= length(d.text)
+      THEN ord(substr(d.text, CAST(f.fi * {MEDIA_BYTES} + i AS INT), 1))
+      ELSE 0 END)::BIGINT AS frame_sum
+FROM documents d, (VALUES {frames}) AS f(fi),
+     generate_series(1, {MEDIA_BYTES}) AS t(i)
+GROUP BY d.doc_id, f.fi"""
 
 
 def _audio_stats_sql() -> str:
@@ -1131,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_star": _q_cc_star,
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
+        "video_decode_stats": _q_video_decode_stats,
+        "video_frame_sample": _q_video_frame_sample,
         "sessions": _q_sessions,
         "embedding_neardup": _q_embedding_neardup,
     }
@@ -1287,6 +1379,8 @@ FROM sverts""",
         "connected_components_star": _cc_sql(),
         "image_decode_stats": _image_stats_sql(),
         "audio_decode_stats": _audio_stats_sql(),
+        "video_decode_stats": _video_stats_sql(),
+        "video_frame_sample": _video_frame_sample_sql(),
         "sessions": _sessions_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
     }

@@ -140,6 +140,42 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     TS.doc_fingerprint(docs, hash_fn="xxhash64").count()
     queries["text_stats"] = time.monotonic() - t0
 
+    # --- multimodal: encode+decode round trip (built-in BMP/Y4M codecs) ------
+    from signal_collect_spark.data import multimodal as M
+    from signal_collect_spark.data.codecs import encode_bmp_gray, encode_y4m_mono
+
+    def _mk_media(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, imgs, vids = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8")[:1024], dtype=np.uint8)
+                px = np.zeros(1024, np.uint8)
+                px[: len(b)] = b
+                ids.append(did)
+                imgs.append(encode_bmp_gray(px[:256].reshape(16, 16)))
+                vids.append(encode_y4m_mono(px.reshape(4, 16, 16)))
+            yield pd.DataFrame({"media_id": ids, "img": imgs, "vid": vids})
+
+    t0 = time.monotonic()
+    meta = F.struct(
+        F.lit(16).alias("width"), F.lit(16).alias("height"),
+        F.lit(4).alias("n_frames"), F.lit("builtin").alias("codec"),
+    )
+    media = (
+        docs.select("doc_id", "text")
+        .mapInPandas(_mk_media, "media_id long, img binary, vid binary")
+        .persist()
+    )
+    M.image_stats(media.select("media_id", F.col("img").alias("payload"), meta.alias("meta"))).count()
+    M.sample_frames_decode(
+        media.select("media_id", F.col("vid").alias("payload"), meta.alias("meta")), every_n=2
+    ).count()
+    media.unpersist()
+    queries["multimodal_decode"] = time.monotonic() - t0
+
     return queries
 
 
@@ -190,7 +226,7 @@ def main() -> None:
     edges.unpersist()
     out = {
         "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 + cc + lp "
-        f"+ triangles + ingest + dedup + ann + textstats); median of {repeats} runs",
+        f"+ triangles + ingest + dedup + ann + textstats + multimodal); median of {repeats} runs",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in med.items()},

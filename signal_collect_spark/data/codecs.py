@@ -1,10 +1,12 @@
-"""Pure-numpy media codecs: 8-bit grayscale BMP and 16-bit PCM WAV.
+"""Pure-numpy media codecs: 8-bit grayscale BMP, 16-bit PCM WAV, and
+Y4M (YUV4MPEG2) raw video.
 
 Deterministic, dependency-free (bytes + numpy only) so the multimodal
 pipeline (multimodal.py) has a REAL end-to-end decode path in this
-container — no PIL/torchaudio needed. Production adds richer codecs by
-injecting a ``decoder=`` into the multimodal operators; these built-ins
-make BMP images and PCM WAV audio first-class out of the box.
+container — no PIL/torchaudio/ffmpeg needed. Production adds richer
+codecs by injecting a ``decoder=`` into the multimodal operators; these
+built-ins make BMP images, PCM WAV audio, and Y4M video first-class out
+of the box.
 
 Formats follow the public specs exactly:
   * BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B) + 256-entry
@@ -13,6 +15,11 @@ Formats follow the public specs exactly:
   * WAV: RIFF/WAVE with a 16-byte 'fmt ' chunk (PCM, mono, 16-bit LE)
     and a 'data' chunk; the decoder walks chunks, so extra chunks
     (LIST/INFO) are tolerated.
+  * Y4M: the YUV4MPEG2 stream header ("YUV4MPEG2 W.. H.. F.. ... Cmono")
+    followed by per-frame "FRAME[ params]\\n" markers and raw planes;
+    the mono colorspace (one 8-bit luma plane per frame) is used so a
+    frame is exactly a (h, w) grayscale image. The decoder tolerates
+    unknown header/frame parameters, per spec.
 """
 
 from __future__ import annotations
@@ -108,3 +115,72 @@ def decode_wav_pcm16(payload: bytes) -> tuple["np.ndarray", int]:
     if rate is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     return np.frombuffer(data, dtype="<i2").copy(), rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M / YUV4MPEG2 (mono: one 8-bit luma plane per frame)
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m_mono(frames: "np.ndarray", fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n, h, w) uint8 array → YUV4MPEG2 bytes (Cmono: one luma plane
+    per frame, no chroma)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 3:
+        raise ValueError(f"encode_y4m_mono expects an (n, h, w) array, got {f.shape}")
+    n, h, w = f.shape
+    out = bytearray()
+    out += b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, fps[0], fps[1])
+    for i in range(n):
+        out += b"FRAME\n"
+        out += f[i].tobytes()
+    return bytes(out)
+
+
+def decode_y4m_mono(payload: bytes) -> tuple["np.ndarray", tuple[int, int]]:
+    """YUV4MPEG2 (Cmono) bytes → ((n, h, w) uint8 array, (fps_num,
+    fps_den)). Unknown stream/frame parameters are skipped per spec."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "420"  # the spec default when no C tag is present
+    for tok in payload[len(_Y4M_MAGIC) : nl].split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == "C":
+            cs = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs != "mono":
+        raise NotImplementedError(
+            f"only Cmono Y4M supported in-container (got C{cs}); inject a "
+            "decoder= for chroma-subsampled streams"
+        )
+    frame_size = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.index(b"\n", pos)  # frame params (if any) run to \n
+        start = fnl + 1
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=frame_size, offset=start).reshape(
+                h, w
+            )
+        )
+        pos = start + frame_size
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8),
+        fps,
+    )

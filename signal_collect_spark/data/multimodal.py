@@ -1,10 +1,11 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
-typed metadata, plus REAL built-in codecs for BMP images and PCM WAV
-audio (pure numpy — codecs.py), so decode → feature-extract runs end to
-end in this container. Formats with no in-container codec (JPEG/PNG,
-video containers) raise NotImplementedError from the dispatch; richer
-codecs are injected via ``decoder=`` (e.g. a PIL-backed callable)
-without touching the Spark plumbing.
+typed metadata, plus REAL built-in codecs for all three modalities —
+BMP images, PCM WAV audio, and Y4M (YUV4MPEG2 Cmono) video (pure
+numpy — codecs.py) — so decode → feature-extract / frame-sample runs
+end to end in this container. Formats with no in-container codec
+(JPEG/PNG, compressed video containers) raise NotImplementedError from
+the dispatch; richer codecs are injected via ``decoder=`` (e.g. a
+PIL/ffmpeg-backed callable) without touching the Spark plumbing.
 
 Scale notes:
   * binary payloads ride in their own column — never group/sort by it;
@@ -27,8 +28,10 @@ from pyspark.sql import types as T
 from signal_collect_spark.data.codecs import (
     decode_bmp_gray,
     decode_wav_pcm16,
+    decode_y4m_mono,
     encode_bmp_gray,
     encode_wav_pcm16,
+    encode_y4m_mono,
 )
 
 MEDIA_SCHEMA = T.StructType(
@@ -54,6 +57,12 @@ FEATURE_SCHEMA = "media_id long, feat array<float>"
 IMAGE_STATS_SCHEMA = "media_id long, width int, height int, pixel_sum long, row0_sum long"
 AUDIO_STATS_SCHEMA = (
     "media_id long, n_samples int, sample_rate int, sample_sum long, max_sample int"
+)
+VIDEO_STATS_SCHEMA = (
+    "media_id long, n_frames int, width int, height int, pixel_sum long, frame0_sum long"
+)
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, frame_sum long, frame_bmp binary"
 )
 
 
@@ -177,6 +186,94 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_stats, AUDIO_STATS_SCHEMA)
 
 
+def builtin_video_decoder(payload: bytes, meta) -> "object":
+    """Magic-byte dispatch: Y4M/YUV4MPEG2 decodes for real to an
+    (n_frames, h, w) uint8 array; compressed containers raise
+    NotImplementedError (inject an ffmpeg-backed ``decoder=``)."""
+    if payload[:9] == b"YUV4MPEG2":
+        frames, _fps = decode_y4m_mono(bytes(payload))
+        return frames
+    raise NotImplementedError(
+        "no container codec for this video payload in-container; pass "
+        "decoder= (e.g. ffmpeg-backed) for formats beyond Y4M"
+    )
+
+
+def video_stats(media: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Decode every video payload (built-in Y4M codec by default) and
+    emit (media_id, n_frames, width, height, pixel_sum, frame0_sum).
+    ``frame0_sum`` is the first frame's pixel sum — it proves frame
+    ORDER survives the round trip, which a whole-stream checksum could
+    not detect (the Y4M analogue of image_stats' row0_sum)."""
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                fr = (decoder or builtin_video_decoder)(bytes(payload), meta)
+                n, h, w = fr.shape
+                rows.append(
+                    (
+                        mid,
+                        int(n),
+                        int(w),
+                        int(h),
+                        int(fr.astype("int64").sum()),
+                        int(fr[0].astype("int64").sum()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "width", "height", "pixel_sum", "frame0_sum"],
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        _stats, VIDEO_STATS_SCHEMA
+    )
+
+
+def sample_frames_decode(
+    media: DataFrame, every_n: int, decoder: Callable | None = None
+) -> DataFrame:
+    """Decode each video and emit every ``every_n``-th frame as a row:
+    (media_id, frame_idx, width, height, frame_sum, frame_bmp). The
+    sampled frame is re-encoded as an 8-bit BMP so the output column
+    composes directly with the IMAGE operators (image_stats /
+    extract_features) — video → frame sample → image featurize is the
+    standard training-data shape. One Arrow batch in, ~n_frames/every_n
+    rows out per video."""
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                fr = (decoder or builtin_video_decoder)(bytes(payload), meta)
+                n, h, w = fr.shape
+                for idx in range(0, n, every_n):
+                    rows.append(
+                        (
+                            mid,
+                            idx,
+                            int(w),
+                            int(h),
+                            int(fr[idx].astype("int64").sum()),
+                            encode_bmp_gray(fr[idx]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame_sum", "frame_bmp"],
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        _sample, FRAME_SAMPLE_SCHEMA
+    )
+
+
 def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
     """Pure-metadata resize plan: target dims preserving aspect ratio —
     expression-only (the decode+resample happens in extract_features-
@@ -193,10 +290,10 @@ def resize_meta(media: DataFrame, max_side: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """(media_id, frame_idx) plan for videos: frames 0, n, 2n, ... —
-    sequence() expression, no UDF. Decoding the chosen frames needs a
-    container codec (none in this environment — inject via decoder=);
-    the plan + the extract_features UDF shape are the real parts."""
+    """(media_id, frame_idx) metadata-only plan for videos: frames
+    0, n, 2n, ... — sequence() expression, no UDF, no payload read.
+    Use this to PLAN (join against storage, prune, estimate cost);
+    ``sample_frames_decode`` actually decodes the chosen frames."""
     return media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(
@@ -208,10 +305,10 @@ def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
 
 
 def make_media_fixture(spark, n: int = 16) -> DataFrame:
-    """Deterministic media fixture with REAL payloads: images are
-    actual 8-bit BMPs, audio rows actual PCM-16 WAVs (both built by
-    codecs.py); video rows carry frame metadata only (no container
-    codec in this environment)."""
+    """Deterministic media fixture with REAL payloads for all three
+    modalities: images are actual 8-bit BMPs, audio rows actual PCM-16
+    WAVs, video rows actual Y4M (Cmono) streams — all built by
+    codecs.py."""
     import numpy as np  # noqa: PLC0415
 
     rows = []
@@ -230,5 +327,11 @@ def make_media_fixture(spark, n: int = 16) -> DataFrame:
                 (i, kind, bytearray(encode_wav_pcm16(samples, 8000)), (None, None, None, "pcm16"))
             )
         else:
-            rows.append((i, kind, None, (None, None, 10 + i, "raw-frames")))
+            nf, h, w = 10 + i, 6, 8
+            fr = ((np.arange(nf * h * w).reshape(nf, h, w) * (i + 3)) % 256).astype(
+                np.uint8
+            )
+            rows.append(
+                (i, kind, bytearray(encode_y4m_mono(fr)), (w, h, nf, "y4m-mono"))
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -48,4 +48,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``signal_collect_spark`` importable on executor Python
+    workers regardless of the driver's cwd.
+
+    UDF closures (multimodal codecs, CSR kernels) unpickle by module
+    name on the workers; when the driver runs outside the repo and the
+    job wasn't spark-submitted with ``--py-files``, that import fails.
+    Shipping the package archive via ``addPyFile`` — the same artifact
+    a cluster deployment passes to spark-submit — closes the gap. Uses
+    the prebuilt ``dist/signal_collect_spark.zip`` when present, else
+    zips the package source to a temp file once per session."""
+    if getattr(spark, "_scs_pyfiles_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(os.path.dirname(pkg_dir), "dist", "signal_collect_spark.zip")
+    if not os.path.exists(zip_path):
+        import tempfile
+        import zipfile
+
+        fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="scs_pyfiles_")
+        os.close(fd)
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._scs_pyfiles_added = True

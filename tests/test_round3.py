@@ -408,3 +408,91 @@ def test_sessionize_boundary_exact_gap(spark, tmp_path):
     # the first (2-event, exact-gap-merged) session closes in-batch when
     # the gap+1s event arrives — identical grouping to session_window
     assert closed == {(1, 2, 3.0, 1800.0)}
+
+
+def test_auto_num_partitions(spark):
+    """num_partitions="auto" sizes P from the edge count with a
+    defaultParallelism floor and produces results identical to a pinned
+    run (partitioning never changes the computed values)."""
+    from pyspark.sql import functions as F
+
+    from signal_collect_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "src long, dst long"
+    ).filter("src != dst").withColumn("weight", F.lit(1.0))
+    auto, ia = pagerank(spark, edges, max_steps=5, num_partitions="auto")
+    pinned, ip = pagerank(spark, edges, max_steps=5, num_partitions=4)
+    a = {r["id"]: r["rank"] for r in auto.collect()}
+    p = {r["id"]: r["rank"] for r in pinned.collect()}
+    assert a.keys() == p.keys()
+    for k in a:
+        assert abs(a[k] - p[k]) < 1e-12
+    ia.release()
+    ip.release()
+
+
+def test_y4m_codec_roundtrip():
+    """Y4M (Cmono) encode/decode is exact, including frame order and
+    unknown header/frame parameters per the YUV4MPEG2 spec."""
+    import numpy as np
+
+    from signal_collect_spark.data import codecs as CC
+
+    fr = ((np.arange(5 * 7 * 9).reshape(5, 7, 9) * 13) % 256).astype(np.uint8)
+    payload = CC.encode_y4m_mono(fr, fps=(30, 1))
+    assert payload.startswith(b"YUV4MPEG2 W9 H7 F30:1")
+    back, fps = CC.decode_y4m_mono(payload)
+    assert fps == (30, 1)
+    assert back.shape == (5, 7, 9)
+    assert (back == fr).all()
+    # tolerate unknown stream params + frame params (spec allows both)
+    tweaked = payload.replace(b" Cmono\n", b" Cmono Xcustom\n", 1).replace(
+        b"FRAME\n", b"FRAME Ip\n", 1
+    )
+    back2, _ = CC.decode_y4m_mono(tweaked)
+    assert (back2 == fr).all()
+    # chroma-subsampled streams must not silently decode garbage
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        CC.decode_y4m_mono(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\0" * 6)
+
+
+def test_video_stats_and_frame_sample(spark):
+    """video_stats decodes the fixture's REAL Y4M payloads (frame0_sum
+    proves frame order); sample_frames_decode emits BMP frames that
+    compose with the image operators."""
+    import numpy as np
+
+    from signal_collect_spark.data import multimodal as M
+
+    media = M.make_media_fixture(spark, n=9)
+    vids = media.filter("kind = 'video'")
+    vs = {r["media_id"]: r for r in M.video_stats(vids).collect()}
+    assert set(vs) == {2, 5, 8}
+    nf, h, w = 12, 6, 8  # media_id=2: n_frames=10+i, pattern *(i+3)
+    fr = ((np.arange(nf * h * w).reshape(nf, h, w) * 5) % 256).astype(np.int64)
+    assert (vs[2]["n_frames"], vs[2]["width"], vs[2]["height"]) == (nf, w, h)
+    assert vs[2]["pixel_sum"] == int(fr.sum())
+    assert vs[2]["frame0_sum"] == int(fr[0].sum())
+
+    sampled = M.sample_frames_decode(vids, every_n=4)
+    rows = {(r["media_id"], r["frame_idx"]): r for r in sampled.collect()}
+    assert sorted(i for m, i in rows if m == 2) == [0, 4, 8]
+    assert rows[(2, 4)]["frame_sum"] == int(fr[4].sum())
+    # the sampled frame_bmp column feeds image_stats directly
+    from pyspark.sql import functions as F
+
+    as_images = sampled.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_bmp").alias("payload"),
+        F.struct(
+            F.col("width"), F.col("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit("bmp8").alias("codec"),
+        ).alias("meta"),
+    )
+    ist = {r["media_id"]: r for r in M.image_stats(as_images).collect()}
+    assert ist[204]["pixel_sum"] == int(fr[4].sum())
+    assert ist[204]["row0_sum"] == int(fr[4][0].sum())
