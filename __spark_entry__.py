@@ -1111,6 +1111,152 @@ FROM documents d, generate_series(1, {MEDIA_BYTES}) AS t(i)
 GROUP BY d.doc_id"""
 
 
+def _q_sudoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sudoku1 (Sudoku.scala:68-73), solved by pure
+    distributed naked-single propagation (no search needed — the
+    reference calls it 'very simple'). The DuckDB oracle SOLVES the
+    same puzzle independently with the classic recursive-CTE
+    backtracking solver — two entirely different algorithms, one
+    answer."""
+    from signal_collect_spark.algorithms import SUDOKU1, sudoku
+
+    return sudoku(spark, SUDOKU1, search_fallback=False)
+
+
+def _sudoku_sql() -> str:
+    from signal_collect_spark.algorithms.sudoku import SUDOKU1
+
+    s = "".join(str(SUDOKU1[c]) if c in SUDOKU1 else "." for c in range(81))
+    return f"""WITH RECURSIVE
+digits(z, lp) AS (SELECT CAST(i AS VARCHAR), i FROM generate_series(1, 9) AS t(i)),
+x(s, ind) AS (
+  SELECT '{s}', strpos('{s}', '.')
+  UNION ALL
+  SELECT substr(x.s, 1, x.ind-1) || z.z || substr(x.s, x.ind+1),
+         strpos(substr(x.s, 1, x.ind-1) || z.z || substr(x.s, x.ind+1), '.')
+  FROM x, digits z
+  WHERE x.ind > 0
+    AND NOT EXISTS (
+      SELECT 1 FROM digits lp
+      WHERE z.z = substr(x.s, ((x.ind-1)//9)*9 + lp.lp, 1)
+         OR z.z = substr(x.s, ((x.ind-1)%9) + (lp.lp-1)*9 + 1, 1)
+         OR z.z = substr(x.s, (((x.ind-1)//3)%3)*3 + ((x.ind-1)//27)*27 + lp.lp + ((lp.lp-1)//3)*6, 1)
+    )
+)
+SELECT CAST(i-1 AS INT) AS cell, CAST(substr(s, CAST(i AS INT), 1) AS INT) AS value
+FROM (SELECT s FROM x WHERE ind = 0 LIMIT 1), generate_series(1, 81) AS t(i)"""
+
+
+HAM_N = 6
+
+
+def _q_hamiltonian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-simple-path / Hamiltonian search on a 6-node graph
+    derived from the nation table (keys 0-5, arithmetic edge rule).
+    Per vertex: longest path ending there, min weight, lexicographic-
+    min witness. Oracle: DuckDB recursive-CTE enumeration of ALL
+    simple paths — it brute-forces what the engine prunes with the
+    Held-Karp dominance rule."""
+    from signal_collect_spark.algorithms import hamiltonian_paths
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("id")
+    ).filter(F.col("id") < HAM_N)
+    a, b = nat.alias("a"), nat.alias("b")
+    edges = (
+        a.crossJoin(b)
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .filter("src != dst AND (src*7 + dst*3) % 4 < 2")
+        .withColumn("weight", ((F.col("src") * 5 + F.col("dst") * 11) % 7 + 1).cast("double"))
+    )
+    return hamiltonian_paths(spark, edges).select(
+        "id",
+        "path_len",
+        "min_weight",
+        F.concat_ws("->", F.col("path")).alias("path_str"),
+    )
+
+
+def _hamiltonian_sql() -> str:
+    return f"""WITH RECURSIVE
+nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation WHERE n_nationkey < {HAM_N}),
+e AS (SELECT a.id AS src, b.id AS dst,
+             CAST((a.id*5 + b.id*11) % 7 + 1 AS BIGINT) AS w
+      FROM nodes a, nodes b
+      WHERE a.id <> b.id AND (a.id*7 + b.id*3) % 4 < 2),
+p(last, visited, plen, w, path) AS (
+  SELECT id, '|' || id || '|', 1, CAST(0 AS BIGINT), CAST(id AS VARCHAR) FROM nodes
+  UNION ALL
+  SELECT e.dst, p.visited || e.dst || '|', p.plen + 1, p.w + e.w,
+         p.path || '->' || e.dst
+  FROM p JOIN e ON e.src = p.last
+  WHERE strpos(p.visited, '|' || e.dst || '|') = 0
+),
+ranked AS (
+  SELECT last, plen, w, path,
+         ROW_NUMBER() OVER (PARTITION BY last
+                            ORDER BY plen DESC, w ASC, path ASC) AS rn
+  FROM p
+)
+SELECT last AS id, CAST(plen AS INT) AS path_len, w AS min_weight,
+       path AS path_str
+FROM ranked WHERE rn = 1"""
+
+
+CRAWL_DEPTH = 3
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 'web' over documents: url doc<i>; html carries three
+    hyperlinks (mixed quote styles — the reference regex handles both)
+    to arithmetically-chosen neighbors mod the corpus size."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("url"),
+        F.format_string(
+            '<p><a href="doc%d">x</a><a href=\'doc%d\'>y</a>junk<a href="doc%d">z</a></p>',
+            (F.col("doc_id") * 7 + 1) % n,
+            (F.col("doc_id") * 11 + 3) % n,
+            (F.col("doc_id") * 3 + 5) % n,
+        ).alias("html"),
+    )
+
+
+def _q_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebCrawler.scala re-expression: regex link extraction + depth-
+    bounded BFS discovery from seed doc0. The oracle derives the SAME
+    link set arithmetically (never parsing html) and BFSes it with a
+    recursive CTE — so the regex extraction path is independently
+    cross-checked."""
+    from signal_collect_spark.algorithms import crawl
+
+    vertices, _edges = crawl(
+        spark, _pages(spark, sf_dir), seeds=["doc0"], max_depth=CRAWL_DEPTH
+    )
+    return vertices.select("url", "depth")
+
+
+def _web_crawl_sql() -> str:
+    return f"""WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+l AS (
+  SELECT 'doc' || d.doc_id AS src, 'doc' || ((d.doc_id*7 + 1) % nn.n) AS dst FROM documents d, nn
+  UNION ALL
+  SELECT 'doc' || d.doc_id, 'doc' || ((d.doc_id*11 + 3) % nn.n) FROM documents d, nn
+  UNION ALL
+  SELECT 'doc' || d.doc_id, 'doc' || ((d.doc_id*3 + 5) % nn.n) FROM documents d, nn
+),
+bfs(url, depth) AS (
+  SELECT 'doc0', 0
+  UNION ALL
+  SELECT l.dst, bfs.depth + 1
+  FROM bfs JOIN l ON l.src = bfs.url
+  WHERE bfs.depth < {CRAWL_DEPTH}
+)
+SELECT url, CAST(MIN(depth) AS INT) AS depth FROM bfs GROUP BY url"""
+
+
 NEARDUP_COS_THRESHOLD = 0.35
 
 
@@ -1223,6 +1369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": _q_audio_decode_stats,
         "video_decode_stats": _q_video_decode_stats,
         "video_frame_sample": _q_video_frame_sample,
+        "sudoku_solve": _q_sudoku,
+        "hamiltonian_paths": _q_hamiltonian,
+        "web_crawl": _q_web_crawl,
         "sessions": _q_sessions,
         "embedding_neardup": _q_embedding_neardup,
     }
@@ -1381,6 +1530,9 @@ FROM sverts""",
         "audio_decode_stats": _audio_stats_sql(),
         "video_decode_stats": _video_stats_sql(),
         "video_frame_sample": _video_frame_sample_sql(),
+        "sudoku_solve": _sudoku_sql(),
+        "hamiltonian_paths": _hamiltonian_sql(),
+        "web_crawl": _web_crawl_sql(),
         "sessions": _sessions_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
     }

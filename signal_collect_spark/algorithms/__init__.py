@@ -12,6 +12,9 @@ from signal_collect_spark.algorithms.examples import (
     schelling_segregation,
     vertex_coloring,
 )
+from signal_collect_spark.algorithms.hamiltonian import hamiltonian_paths
+from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
+from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
 from signal_collect_spark.algorithms.pathquery import (
     QueryNode,
     fixed,
@@ -38,4 +41,11 @@ __all__ = [
     "game_of_life",
     "schelling_segregation",
     "vertex_coloring",
+    "hamiltonian_paths",
+    "sudoku",
+    "SUDOKU1",
+    "SUDOKU2",
+    "crawl",
+    "crawl_pagerank",
+    "extract_links",
 ]

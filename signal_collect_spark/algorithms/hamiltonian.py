@@ -1,0 +1,148 @@
+"""Hamiltonian / longest-simple-path search as distributed dynamic
+programming (Held-Karp shape).
+
+Reference semantics (examples/Hamiltonian.scala:69-126): every vertex
+accumulates a map {path -> weight} of simple paths ending at it; edges
+signal the source's paths extended by themselves, dropping any path
+that already contains the target (`Hamiltonian.scala:118-125`); the
+result per vertex is its longest collected path with the minimum
+weight (`HamiltonianVertex.toString`, :87-105). The reference keeps
+EVERY distinct path list as a map key — exponential state per vertex.
+
+Spark-first re-expression: a frontier of (visited_mask, last, weight,
+path) rows — i.e. the same path set, flattened into a DataFrame
+instead of per-vertex maps. One superstep extends every path by every
+edge whose destination is not yet in the mask (the filterNot in the
+edge's signal), then a (mask, last) min-aggregate keeps, per visited
+SET and endpoint, only the cheapest path — the Held-Karp dominance
+rule. This is strictly stronger pruning than the reference (which
+keeps all permutations of a set separately) but provably preserves
+its reported result: the min-weight longest path, because dropping a
+dominated permutation can never remove the minimum.
+
+Scale: round k holds at most C(n,k)*n rows, sharded by (mask, last) —
+the 2^n frontier is distributed, not driver-held. ids are densified to
+bits 0..n-1, so n is capped (default 28) — beyond that the problem is
+exponential in ANY engine, including the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hamiltonian_paths(
+    spark,
+    edges: DataFrame,
+    max_vertices: int = 28,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """All-pairs longest-simple-path table: one row per vertex ``id``
+    with the longest simple path ENDING at it and, among those, the
+    minimum total weight (reference `HamiltonianVertex.toString`).
+
+    Returns (id, path_len, min_weight, path: array<long>); ``path`` is
+    the lexicographically-smallest min-weight witness, which makes the
+    output deterministic where the reference prints an arbitrary map
+    key. On a graph with a Hamiltonian path, path_len == n for the
+    end vertices of such a path.
+    """
+    ids = [r["id"] for r in (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .orderBy("id")
+        .collect()
+    )]
+    n = len(ids)
+    if n > max_vertices:
+        raise ValueError(
+            f"{n} vertices: simple-path enumeration is exponential; raise "
+            f"max_vertices (= {max_vertices}) explicitly if you mean it"
+        )
+    idx = {v: i for i, v in enumerate(ids)}
+    mapping = spark.createDataFrame(
+        [(v, i) for v, i in idx.items()], "id long, bit int"
+    )
+    m_src = mapping.select(F.col("id").alias("__sid"), F.col("bit").alias("sbit"))
+    m_dst = mapping.select(F.col("id").alias("__did"), F.col("bit").alias("dbit"))
+    e = (
+        edges.join(m_src, edges["src"] == m_src["__sid"])
+        .join(m_dst, edges["dst"] == m_dst["__did"])
+        .select(
+            "sbit",
+            "dbit",
+            F.col(weight_col).cast("long").alias("w"),
+            F.col("dst").alias("dst_id"),
+        )
+    )
+    e = F.broadcast(e) if n <= 16 else e
+
+    frontier = mapping.select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"),
+        F.col("bit").alias("last"),
+        F.lit(0).cast("long").alias("weight"),
+        F.array(F.col("id")).alias("path"),
+    )
+    levels = [frontier]
+    for _ in range(n - 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.last") == F.col("e.sbit"))
+            # the reference edge signals only paths NOT containing the
+            # target (Hamiltonian.scala:121 filterNot)
+            .filter(
+                F.col("f.mask").bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), dbit)")
+                )
+                == 0
+            )
+            .select(
+                F.col("f.mask")
+                .bitwiseOR(F.expr("shiftleft(CAST(1 AS BIGINT), dbit)"))
+                .alias("mask"),
+                F.col("e.dbit").alias("last"),
+                (F.col("f.weight") + F.col("e.w")).alias("weight"),
+                F.concat(F.col("f.path"), F.array(F.col("e.dst_id"))).alias("path"),
+            )
+            # Held-Karp dominance: per (visited set, endpoint) keep the
+            # cheapest path; min over a (weight, path) struct also picks
+            # the lexicographically-smallest witness at weight ties
+            .groupBy("mask", "last")
+            .agg(F.min(F.struct("weight", "path")).alias("best"))
+            .select("mask", "last", F.col("best.weight").alias("weight"), F.col("best.path").alias("path"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        frontier = nxt
+
+    all_rows = levels[0]
+    for lv in levels[1:]:
+        all_rows = all_rows.unionAll(lv)
+    per_vertex = (
+        all_rows.withColumn("path_len", F.size("path"))
+        .groupBy("last")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("path_len"),
+                    (-F.col("weight")).alias("neg_w"),
+                    F.transform("path", lambda x: -x).alias("neg_path"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "last",
+            F.col("b.path_len").alias("path_len"),
+            (-F.col("b.neg_w")).alias("min_weight"),
+            F.transform("b.neg_path", lambda x: -x).alias("path"),
+        )
+    )
+    out = per_vertex.join(mapping, per_vertex["last"] == mapping["bit"]).select(
+        "id", "path_len", "min_weight", "path"
+    )
+    return out

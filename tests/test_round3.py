@@ -496,3 +496,107 @@ def test_video_stats_and_frame_sample(spark):
     ist = {r["media_id"]: r for r in M.image_stats(as_images).collect()}
     assert ist[204]["pixel_sum"] == int(fr[4].sum())
     assert ist[204]["row0_sum"] == int(fr[4][0].sum())
+
+
+def test_hamiltonian_reference_graph(spark):
+    """The reference's own 5-vertex example (Hamiltonian.scala:34-53):
+    per-vertex longest simple path + min weight, checked against a
+    Python brute-force enumeration."""
+    from itertools import permutations
+
+    from pyspark.sql import functions as F
+
+    from signal_collect_spark.algorithms import hamiltonian_paths
+
+    # a=0 b=1 c=2 d=3 e=4; bidirectional weights from the reference
+    und = [(0, 3, 3), (0, 1, 1), (3, 1, 2), (3, 2, 1), (1, 2, 1), (4, 0, 1)]
+    tuples = [(a, b, float(w)) for a, b, w in und] + [
+        (b, a, float(w)) for a, b, w in und
+    ]
+    adj = {(a, b): w for a, b, w in tuples}
+    edges = spark.createDataFrame(tuples, "src long, dst long, weight double")
+    got = {
+        r["id"]: (r["path_len"], r["min_weight"], list(r["path"]))
+        for r in hamiltonian_paths(spark, edges).collect()
+    }
+
+    best: dict[int, tuple] = {}
+    for k in range(1, 6):
+        for perm in permutations(range(5), k):
+            w = 0
+            ok = True
+            for i in range(len(perm) - 1):
+                if (perm[i], perm[i + 1]) not in adj:
+                    ok = False
+                    break
+                w += adj[(perm[i], perm[i + 1])]
+            if not ok:
+                continue
+            end = perm[-1]
+            cand = (len(perm), -w, [-x for x in perm])
+            if end not in best or cand > best[end]:
+                best[end] = cand
+    want = {
+        e: (ln, -nw, [-x for x in np]) for e, (ln, nw, np) in best.items()
+    }
+    assert got == want, (got, want)
+    # the graph HAS a Hamiltonian path (reference's point): length 5
+    assert max(v[0] for v in got.values()) == 5
+
+
+def test_sudoku_propagation_and_search(spark):
+    """sudoku1 (Sudoku.scala:68-73) solves by pure propagation;
+    sudoku2 (:76-81) needs the DFS fallback — both yield valid
+    complete grids consistent with their givens."""
+    from signal_collect_spark.algorithms import SUDOKU1, SUDOKU2, sudoku
+
+    for givens, needs_search in ((SUDOKU1, False), (SUDOKU2, True)):
+        grid = {
+            r["cell"]: r["value"]
+            for r in sudoku(spark, givens, search_fallback=True).collect()
+        }
+        assert len(grid) == 81 and all(1 <= v <= 9 for v in grid.values())
+        for c, v in givens.items():
+            assert grid[c] == v
+        for unit in (
+            [[r * 9 + c for c in range(9)] for r in range(9)]
+            + [[r * 9 + c for r in range(9)] for c in range(9)]
+            + [
+                [(br * 3 + r) * 9 + bc * 3 + c for r in range(3) for c in range(3)]
+                for br in range(3)
+                for bc in range(3)
+            ]
+        ):
+            assert sorted(grid[c] for c in unit) == list(range(1, 10))
+    # propagation alone must solve sudoku1
+    g1 = {
+        r["cell"]: r["value"]
+        for r in sudoku(spark, SUDOKU1, search_fallback=False).collect()
+    }
+    assert len(g1) == 81
+
+
+def test_crawler_extract_and_depth(spark):
+    """Link extraction uses the reference's hyperlink regex (double- or
+    single-quoted hrefs); crawl discovers min-depth BFS bounded by
+    max_depth, and pages at the depth limit are not fetched."""
+    from signal_collect_spark.algorithms import crawl, extract_links
+
+    web = spark.createDataFrame(
+        [
+            ("a", '<p><a href="b">x</a> junk <a href=\'c\'>y</a></p>'),
+            ("b", '<a href="d">z</a>'),
+            ("c", '<a href="d">z</a><a href="a">back</a>'),
+            ("d", '<a href="e">deep</a>'),
+            ("e", ""),
+        ],
+        "url string, html string",
+    )
+    links = {(r["src"], r["dst"]) for r in extract_links(web).collect()}
+    assert links == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("c", "a"), ("d", "e")}
+
+    vertices, edges = crawl(spark, web, seeds=["a"], max_depth=2)
+    depth = {r["url"]: r["depth"] for r in vertices.collect()}
+    assert depth == {"a": 0, "b": 1, "c": 1, "d": 2}  # e beyond the bound
+    e = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert e == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("c", "a")}  # d not fetched
