@@ -568,6 +568,17 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the unit LLM data budgets are priced
+    in); the oracle runs the SAME pattern through DuckDB's RE2 — the
+    pattern is written lookahead-free so both engines agree."""
+    return TS.bpe_token_count(_docs(spark, sf_dir)).select(
+        "id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = TS.quality_score(_docs(spark, sf_dir))
     return q.select(
@@ -1346,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingles": _q_doc_shingles,
         "neardup_jaccard": _q_neardup_jaccard,
         "token_stats": _q_token_stats,
+        "bpe_tokens": _q_bpe_tokens,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann,
@@ -1449,6 +1461,12 @@ inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
 SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
 ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 50""",
+        "bpe_tokens": r"""SELECT doc_id AS id,
+  len(list_filter(regexp_extract_all(text,
+      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+      p -> trim(p) <> ''))::BIGINT AS n_bpe_tokens,
+  len(string_split(text, ' '))::BIGINT AS n_ws_tokens
+FROM documents""",
         "token_stats": """SELECT doc_id AS id,
   len(string_split(text, ' '))::BIGINT AS n_tokens,
   length(text)::BIGINT AS n_chars,

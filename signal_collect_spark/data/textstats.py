@@ -83,6 +83,31 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select("id", pred.alias("pred_lang"), best.alias("confidence"))
 
 
+# GPT-2-style pre-tokenizer pattern, minus the trailing-space lookahead
+# (RE2 — DuckDB's engine — has no lookahead, and the oracle must run the
+# SAME pattern): contractions, optionally-space-prefixed letter runs,
+# digit runs, punctuation runs, then whitespace runs. Leftmost-first
+# alternation in both Java regex and RE2.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens): subword-style token count from
+    the BPE pre-tokenizer regex (the unit LLM data budgets are priced
+    in) next to the whitespace count — all expression-only, zero Python
+    in the scan. Whitespace-run matches are excluded from n_bpe_tokens
+    (they delimit, they don't cost tokens)."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(non_ws).alias("n_bpe_tokens"),
+        F.size(_tokens(text_col)).alias("n_ws_tokens"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -600,3 +600,19 @@ def test_crawler_extract_and_depth(spark):
     assert depth == {"a": 0, "b": 1, "c": 1, "d": 2}  # e beyond the bound
     e = {(r["src"], r["dst"]) for r in edges.collect()}
     assert e == {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("c", "a")}  # d not fetched
+
+
+def test_bpe_token_count(spark):
+    """BPE-ish pre-tokenizer counts: contractions split, punctuation
+    separate, whitespace free; whitespace count rides alongside."""
+    from signal_collect_spark.data import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "I'll see 42 cats!"), (1, ""), (2, "a  b")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: (r["n_bpe_tokens"], r["n_ws_tokens"]) for r in TS.bpe_token_count(docs).collect()}
+    # I | 'll | " see" | " 42" | " cats" | ! -> 6 bpe; 4 ws tokens
+    assert got[0] == (6, 4)
+    assert got[1] == (0, 1)  # split('') -> ['']
+    assert got[2] == (2, 3)  # "a", " b" (2nd space is a ws run); ws split: a,'',b
