@@ -108,6 +108,23 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     extra["codegraph_edges"] = cg_edges.count()
     queries["codegraph_ingest"] = time.monotonic() - t0
 
+    # --- flagship on the BASELINE metric's own graph: PageRank to 1e-6
+    # on the SOURCE-CODE link graph (ingested from a (repo, path,
+    # commit, lang, content) table at ~|E| of the lineitem graph) ------------
+    code_edges = extra.pop("__code_edges")
+    t0 = time.monotonic()
+    state, cinfo = pagerank(
+        spark, code_edges, signal_threshold=1e-9, converge_tol=1e-6,
+        max_steps=200, check_every=5, truncate_every=5,
+    )
+    queries["pagerank_codegraph"] = time.monotonic() - t0
+    extra["codegraph_pr_supersteps"] = cinfo.supersteps
+    extra["codegraph_pr_edges_per_sec"] = round(
+        extra["codegraph_pr_edges"] * cinfo.supersteps / queries["pagerank_codegraph"], 1
+    )
+    extra["__code_edges"] = code_edges
+    cinfo.release()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -202,6 +219,18 @@ def main() -> None:
     extra["graph_edges"] = n_edges
     log(f"bench graph: {n_edges} edges")
 
+    # BASELINE-metric graph: a source-code link graph at comparable |E|,
+    # ingested end-to-end from the input_hint-shaped table (built once,
+    # reused across the measured repeats like the lineitem graph)
+    from signal_collect_spark.codegraph import code_link_graph as _clg
+    from signal_collect_spark.fixtures import make_source_files as _msf
+
+    _, code_edges = _clg(_msf(spark, n_repos=200, files_per_repo=300, refs_per_file=10))
+    code_edges = code_edges.persist()
+    extra["codegraph_pr_edges"] = code_edges.count()
+    extra["__code_edges"] = code_edges
+    log(f"code link graph: {extra['codegraph_pr_edges']} edges")
+
     # JIT warmup (untimed): first-run codegen/JIT inflates per-step cost ~2x
     _, winfo = pagerank(spark, edges, signal_threshold=0.0, converge_tol=0.0,
                         max_steps=6, check_every=3)
@@ -224,9 +253,11 @@ def main() -> None:
     extra["pagerank_edges_per_sec"] = round(n_edges * steps / pr_med, 1)
 
     edges.unpersist()
+    extra.pop("__code_edges").unpersist()
     out = {
-        "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 + cc + lp "
-        f"+ triangles + ingest + dedup + ann + textstats + multimodal); median of {repeats} runs",
+        "metric": "end-to-end seconds for headline ops (pagerank to 1e-6 on the "
+        "lineitem AND source-code link graphs + cc + lp + triangles + ingest "
+        f"+ dedup + ann + textstats + multimodal); median of {repeats} runs",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in med.items()},

@@ -616,3 +616,32 @@ def test_bpe_token_count(spark):
     assert got[0] == (6, 4)
     assert got[1] == (0, 1)  # split('') -> ['']
     assert got[2] == (2, 3)  # "a", " b" (2nd space is a ws run); ws split: a,'',b
+
+
+def test_crawl_pagerank_composition(spark):
+    """WebCrawler's full shape: discovery + PageRank over the
+    discovered subgraph; ranks are the standard engine's (cross-checked
+    on the known 4-vertex discovered graph)."""
+    from signal_collect_spark.algorithms import crawl_pagerank
+
+    web = spark.createDataFrame(
+        [
+            ("a", '<a href="b">x</a><a href=\'c\'>y</a>'),
+            ("b", '<a href="d">z</a>'),
+            ("c", '<a href="d">z</a>'),
+            ("d", ""),
+        ],
+        "url string, html string",
+    )
+    out = {r["url"]: (r["depth"], r["rank"]) for r in
+           crawl_pagerank(spark, web, seeds=["a"], max_depth=3,
+                          converge_tol=1e-9, num_partitions=4).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert [out[u][0] for u in "abcd"] == [0, 1, 1, 2]
+    # a gets no in-links: rank 0.15; b,c get 0.15+0.85*(0.15/2) each;
+    # d collects both: 0.15+0.85*(2*rank_b/1)... fixpoint values:
+    rb = 0.15 + 0.85 * (0.15 / 2)
+    rd = 0.15 + 0.85 * (rb + rb)
+    assert abs(out["a"][1] - 0.15) < 1e-6
+    assert abs(out["b"][1] - rb) < 1e-6 and abs(out["c"][1] - rb) < 1e-6
+    assert abs(out["d"][1] - rd) < 1e-6
