@@ -70,31 +70,36 @@ def crawl(
     links = extract_links(pages, url_col=url_col, html_col=html_col).persist()
     discovered = spark.createDataFrame(
         [(s, 0) for s in seeds], "url string, depth int"
-    ).persist()
+    )
     frontier = discovered.select("url")
     crawled_edges = None
     for d in range(1, max_depth + 1):
+        # localCheckpoint per round: the union-of-joins lineage otherwise
+        # compounds (each round references links + every prior round) and
+        # downstream consumers — e.g. a 90-superstep PageRank over the
+        # discovered edges — OOM on plan rendering alone
         out = links.join(
             F.broadcast(frontier.withColumnRenamed("url", "src")), "src"
-        ).persist()
+        ).localCheckpoint()
         crawled_edges = out if crawled_edges is None else crawled_edges.unionAll(out)
         new = (
             out.select(F.col("dst").alias("url"))
             .distinct()
             .join(discovered.select("url"), "url", "left_anti")
             .withColumn("depth", F.lit(d))
-            .persist()
+            .localCheckpoint()
         )
         if new.isEmpty():
             frontier = new
             break
-        discovered = discovered.unionAll(new).persist()
+        discovered = discovered.unionAll(new).localCheckpoint()
         frontier = new.select("url")
     edges = (
         crawled_edges.distinct()
         if crawled_edges is not None
         else links.limit(0)
     )
+    links.unpersist()
     return discovered, edges
 
 
