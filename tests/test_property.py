@@ -1,0 +1,137 @@
+"""Property-based (hypothesis) differential tests: the engine against
+independent reference implementations on RANDOM inputs — the same
+strategy the reference's integration specs use (assert vs analytically
+known results), generalized beyond hand-picked fixtures.
+
+Examples are kept small (Spark startup amortized via the session
+fixture; each example costs ~1-2s), with deadline disabled — wall time
+per example is Spark overhead, not algorithmic complexity.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from signal_collect_spark import graph as G
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # deterministic CI: same examples every run
+)
+
+
+def _edges_strategy(n_vertices=12, max_edges=40):
+    edge = st.tuples(
+        st.integers(0, n_vertices - 1), st.integers(0, n_vertices - 1)
+    ).filter(lambda p: p[0] != p[1])
+    return st.lists(edge, min_size=1, max_size=max_edges, unique=True)
+
+
+def _numpy_pagerank(pairs, tol=1e-12):
+    """Literal signal/collect PageRank (PageRankVertex.scala:37-40
+    semantics: rank = 0.15 + 0.85 * Σ_in rank_src * w / Σ_out w,
+    unnormalized, no dangling redistribution), iterated to fixpoint."""
+    ids = sorted({v for p in pairs for v in p})
+    idx = {v: i for i, v in enumerate(ids)}
+    outdeg = {v: 0 for v in ids}
+    for s, _ in pairs:
+        outdeg[s] += 1
+    import numpy as np
+
+    r = np.full(len(ids), 0.15)
+    for _ in range(500):
+        nxt = np.full(len(ids), 0.15)
+        for s, d in pairs:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / outdeg[s]
+        if abs(nxt - r).max() < tol:
+            r = nxt
+            break
+        r = nxt
+    return {v: r[idx[v]] for v in ids}
+
+
+@given(pairs=_edges_strategy())
+@settings(**_SETTINGS)
+def test_pagerank_matches_numpy_fixpoint_on_random_graphs(spark, pairs):
+    from signal_collect_spark.algorithms import pagerank
+
+    e = G.edges_from_pairs(spark, pairs)
+    state, info = pagerank(spark, e, converge_tol=1e-9, check_every=10,
+                           num_partitions=4)
+    got = {r["id"]: r["rank"] for r in state.collect()}
+    want = _numpy_pagerank(pairs)
+    assert got.keys() == want.keys()
+    assert max(abs(got[k] - want[k]) for k in want) < 1e-6
+    info.release()
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # full path compression, then min-id per set (the reference label)
+    roots = {v: find(v) for v in parent}
+    mins: dict[int, int] = {}
+    for v, r in roots.items():
+        mins[r] = min(mins.get(r, v), v)
+    return {v: mins[r] for v, r in roots.items()}
+
+
+@given(pairs=_edges_strategy(n_vertices=20, max_edges=30))
+@settings(**_SETTINGS)
+def test_cc_both_methods_match_union_find_on_random_graphs(spark, pairs):
+    from signal_collect_spark.algorithms.components import connected_components
+
+    e = G.edges_from_pairs(spark, pairs)
+    want = _union_find(pairs)
+    for method in ("minlabel", "star"):
+        state, info = connected_components(spark, e, method=method, max_steps=60,
+                                           num_partitions=4)
+        got = {r["id"]: r["component"] for r in state.collect()}
+        assert got == want, method
+        info.release()
+
+
+@given(
+    # ≥3 words per text: a word-n-gram MinHash of an (n-1)-word text has
+    # an empty shingle set and (correctly) never produces candidates
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=4), min_size=3, max_size=8
+        ).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    dup=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_minhash_lsh_invariants_on_random_corpora(spark, texts, dup):
+    """Structural invariants on random corpora: (a) identical texts
+    ALWAYS collide in every band (n_bands == bands); (b) candidate
+    pairs are strictly ordered id_a < id_b; (c) band-match counts never
+    exceed the number of bands."""
+    from signal_collect_spark.data import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    clone_of = dup % len(texts)
+    rows.append((100, texts[clone_of]))  # exact duplicate of one text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = 4
+    cands = D.minhash_lsh_candidates(docs, num_hashes=8, bands=bands, n=2).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["n_bands"] for r in cands}
+    assert all(a < b for a, b in by_pair)
+    assert all(1 <= nb <= bands for nb in by_pair.values())
+    assert by_pair.get((clone_of, 100)) == bands  # exact dup collides everywhere
