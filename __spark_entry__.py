@@ -579,6 +579,16 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = TS.repetition_stats(_docs(spark, sf_dir), n=2)
+    return r.select(
+        "id",
+        "n_grams",
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+        F.round("top_gram_frac", 6).alias("top_gram_frac"),
+    )
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = TS.quality_score(_docs(spark, sf_dir))
     return q.select(
@@ -1358,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": _q_neardup_jaccard,
         "token_stats": _q_token_stats,
         "bpe_tokens": _q_bpe_tokens,
+        "repetition_stats": _q_repetition,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann,
@@ -1461,6 +1472,22 @@ inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
 SELECT id_a, id_b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
 FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
 ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 50""",
+        "repetition_stats": """WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(sp)),
+                               i -> array_to_string(sp[i:i+1], ' '))) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+), per AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+), st AS (
+  SELECT doc_id, SUM(c) AS total, COUNT(*) AS nd, MAX(c) AS top
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+  COALESCE(st.total, 0)::BIGINT AS n_grams,
+  ROUND(COALESCE(1.0 - st.nd / st.total, 0.0), 6) AS dup_gram_frac,
+  ROUND(COALESCE(st.top / st.total, 0.0), 6) AS top_gram_frac
+FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""",
         "bpe_tokens": r"""SELECT doc_id AS id,
   len(list_filter(regexp_extract_all(text,
       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),

@@ -83,6 +83,50 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.select("id", pred.alias("pred_lang"), best.alias("confidence"))
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_grams, dup_gram_frac, top_gram_frac): within-document
+    repetition signals (the Gopher-style quality filters): the fraction
+    of word n-grams that are repeats of an earlier occurrence, and the
+    share the single most-repeated n-gram holds. High values flag
+    boilerplate/spam pages a training-data pipeline drops.
+
+    Shape: one explode + two aggregations keyed by doc id — no joins,
+    map-side combined, linear in corpus size. Docs with fewer than n
+    words report zero grams (fractions 0.0).
+    """
+    toks = F.split(F.col(text_col), " ")
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    per_gram = (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per_gram.groupBy("id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top"),
+    )
+    out = stats.select(
+        "id",
+        F.col("total").cast("long").alias("n_grams"),
+        (1.0 - F.col("n_distinct") / F.col("total")).alias("dup_gram_frac"),
+        (F.col("top") / F.col("total")).alias("top_gram_frac"),
+    )
+    # docs too short to have any n-gram still get a row (fractions 0)
+    short = docs.join(out.select("id"), docs[id_col] == F.col("id"), "left_anti").select(
+        F.col(id_col).alias("id"),
+        F.lit(0).cast("long").alias("n_grams"),
+        F.lit(0.0).alias("dup_gram_frac"),
+        F.lit(0.0).alias("top_gram_frac"),
+    )
+    return out.unionAll(short)
+
+
 # GPT-2-style pre-tokenizer pattern, minus the trailing-space lookahead
 # (RE2 — DuckDB's engine — has no lookahead, and the oracle must run the
 # SAME pattern): contractions, optionally-space-prefixed letter runs,

@@ -645,3 +645,22 @@ def test_crawl_pagerank_composition(spark):
     assert abs(out["a"][1] - 0.15) < 1e-6
     assert abs(out["b"][1] - rb) < 1e-6 and abs(out["c"][1] - rb) < 1e-6
     assert abs(out["d"][1] - rd) < 1e-6
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition: 'a b a b c' bigrams = [a b, b a, a b,
+    b c] -> 4 grams, 3 distinct, top count 2; one-word docs report
+    zero grams with 0.0 fractions."""
+    from signal_collect_spark.data import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x"), (2, "q q q q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["n_grams"], round(r["dup_gram_frac"], 6), round(r["top_gram_frac"], 6))
+        for r in TS.repetition_stats(docs, n=2).collect()
+    }
+    assert got[0] == (4, 0.25, 0.5)
+    assert got[1] == (0, 0.0, 0.0)
+    assert got[2] == (3, round(1 - 1 / 3, 6), 1.0)  # 'q q' x3
