@@ -209,6 +209,19 @@ def main() -> None:
     eff14 = (res[4]["edges_per_sec"] / res[1]["edges_per_sec"]) / 4.0
     eff28 = (res[8]["edges_per_sec"] / res[2]["edges_per_sec"]) / 4.0
     eff416 = (res[16]["edges_per_sec"] / res[4]["edges_per_sec"]) / 4.0
+    # Task-second-normalized efficiency (SECONDARY metric, r3 verdict #2):
+    # raw efficiency × the task-second inflation factor I = task_sec(4N) /
+    # task_sec(N). I measures how many MORE CPU-seconds the identical job
+    # (same plan, same shuffle volume, equal checksums) costs at higher
+    # concurrency on this one-socket box — pure shared memory-bandwidth /
+    # LLC contention, since the work is fixed. A real 4N-executor cluster
+    # adds memory channels and LLC with every executor, so it does not pay
+    # I; multiplying it back out estimates the contention-free pair.
+    def norm_eff(lo: int, hi: int) -> float:
+        infl = res[hi]["task_sec_total"] / res[lo]["task_sec_total"]
+        return (res[hi]["edges_per_sec"] / res[lo]["edges_per_sec"]) / 4.0 * infl
+
+    neff14, neff28, neff416 = norm_eff(1, 4), norm_eff(2, 8), norm_eff(4, 16)
     checks = {c: {r["sum_rank"] for r in raw[c]} for c in levels}
     skew = run_worker(SKEW_WORKER, ["4"])
     out = {
@@ -217,6 +230,9 @@ def main() -> None:
         "scaling_efficiency_1_to_4": round(eff14, 3),
         "scaling_efficiency_2_to_8": round(eff28, 3),
         "scaling_efficiency_4_to_16": round(eff416, 3),
+        "tasksec_normalized_efficiency_1_to_4": round(neff14, 3),
+        "tasksec_normalized_efficiency_2_to_8": round(neff28, 3),
+        "tasksec_normalized_efficiency_4_to_16": round(neff416, 3),
         "skew": skew,
     }
     print(json.dumps(out))
@@ -265,6 +281,19 @@ All numbers are MEDIANS of {repeats} independent pinned runs per level
 - N=1 → 4N=4: **{eff14:.3f}** {'(>= 0.8 target MET)' if eff14 >= 0.8 else '(below 0.8 target)'}
 - N=2 → 4N=8: **{eff28:.3f}** {'(>= 0.8 target MET)' if eff28 >= 0.8 else '(below 0.8 target)'}
 - N=4 → 4N=16: **{eff416:.3f}** {'(>= 0.8 target MET)' if eff416 >= 0.8 else '(below 0.8; see bandwidth-ceiling telemetry below — at 16 threads the one-socket box is +' + format(infl16, '.0%') + ' task-seconds vs 1 core, contention a real 16-executor cluster does not share)'}
+
+**Task-second-normalized efficiency (secondary metric; methodology
+below):** 1→4 **{neff14:.3f}**, 2→8 **{neff28:.3f}**, 4→16 **{neff416:.3f}**.
+Definition: raw efficiency × I, where I = task_sec_total(4N) /
+task_sec_total(N) is the CPU-second inflation the IDENTICAL job (same
+plan, fixed P={P}, equal checksums) pays at higher concurrency on one
+socket. The work is constant, so I isolates shared memory-bandwidth /
+LLC contention — a resource every additional REAL executor brings its
+own copy of, and which the north rule's N→4N cluster comparison would
+therefore not pay. Raw pairs are the primary gate evidence; the
+normalized pairs state what the same engine would do once the
+contended resource scales with the compute, with the correction
+factor reported rather than hand-waved.
 
 Checksum: sum of ranks across ALL runs of ALL levels agrees
 ({', '.join(str(sorted(checks[c])[0]) for c in levels)}) — float-sum

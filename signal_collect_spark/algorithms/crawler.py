@@ -25,8 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Regex.hyperlink (WebCrawler.scala:28), double- or single-quoted href
-HYPERLINK_RE = r"""<a\s+href=(?:"([^"]+)"|'([^']+)')"""
+# Regex.hyperlink (WebCrawler.scala:28), double- or single-quoted href.
+# The trailing consuming `.*?</a>` is part of the reference pattern and
+# is semantic (ADVICE r3): each match consumes through the first
+# closing tag, so anchors nested before a `</a>` are skipped and an
+# unclosed anchor yields NO link — preserved exactly. (?s): the anchor
+# body may span newlines.
+HYPERLINK_RE = r"""(?s)<a\s+href=(?:"([^"]+)"|'([^']+)').*?</a>"""
 
 
 def extract_links(
@@ -125,8 +130,12 @@ def crawl_pagerank(
         .select(F.col("s").alias("src"), F.col("d").alias("dst"), F.lit(1.0).alias("weight"))
     )
     ranks, info = pagerank(spark, e, **pagerank_opts)
-    info.release()
     out = ids.join(ranks, ids["vid"] == ranks["id"], "left").select(
         "url", "depth", F.coalesce("rank", F.lit(0.15)).alias("rank")
     )
+    # materialize off the caches, then free them (r3 verdict: `ids`
+    # stayed persisted for the session's lifetime)
+    out = out.localCheckpoint(eager=True)
+    info.release()
+    ids.unpersist()
     return out

@@ -145,4 +145,11 @@ def hamiltonian_paths(
     out = per_vertex.join(mapping, per_vertex["last"] == mapping["bit"]).select(
         "id", "path_len", "min_weight", "path"
     )
+    # the per-level persists fed the loop; the returned table is tiny
+    # (one row per vertex), so materialize it off the level caches and
+    # free them — same pattern as dedup_pipeline (r3 verdict: the
+    # levels previously stayed cached for the session's lifetime)
+    out = out.localCheckpoint(eager=True)
+    for lv in levels[1:]:
+        lv.unpersist()
     return out

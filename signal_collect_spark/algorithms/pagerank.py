@@ -92,7 +92,7 @@ def pagerank(
     converge_tol: float = 1e-9,
     max_steps: int = 200,
     mode: str = "sql",
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = "auto",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,

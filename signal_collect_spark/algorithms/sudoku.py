@@ -114,6 +114,7 @@ def sudoku(
         "cell int, cand int",
     ).persist()
 
+    n_prev = cands.count()
     for _ in range(max_steps):
         # determined cells = exactly one candidate left (naked single)
         det = (
@@ -144,11 +145,15 @@ def sudoku(
             # (same trap as star CC — components.py)
             .localCheckpoint()
         )
-        n_before, n_after = cands.count(), nxt.count()
+        # ONE action per round (r3 verdict nit #4: a second count() on
+        # cands doubled the round barriers) — the prior round's count is
+        # already known
+        n_after = nxt.count()
         cands.unpersist()
         cands = nxt
-        if n_after == n_before:
+        if n_after == n_prev:
             break
+        n_prev = n_after
 
     per_cell = {c: set() for c in range(81)}
     for r in cands.collect():
@@ -164,6 +169,21 @@ def sudoku(
             raise ValueError("unsolvable sudoku (search exhausted)")
     else:
         raise ValueError("propagation stalled; rerun with search_fallback=True")
+    # final validity gate (ADVICE r3): contradictory GIVENS that leave no
+    # undecided cell (e.g. a complete grid with a duplicate in one row)
+    # sail through propagation with every cell "determined" — the
+    # contradiction branches never run. Every row/column/box must be a
+    # permutation of 1..9.
+    full = set(range(1, 10))
+    units = [[r * 9 + c for c in range(9)] for r in range(9)]
+    units += [[r * 9 + c for r in range(9)] for c in range(9)]
+    units += [
+        [(br + r) * 9 + (bc + c) for r in range(3) for c in range(3)]
+        for br in (0, 3, 6)
+        for bc in (0, 3, 6)
+    ]
+    if any({solved[c] for c in u} != full for u in units):
+        raise ValueError("unsolvable sudoku (givens violate a row/column/box)")
     return spark.createDataFrame(sorted(solved.items()), "cell int, value int")
 
 

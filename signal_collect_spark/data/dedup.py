@@ -102,28 +102,35 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle", "left_semi")
+    # sh feeds three consumers (sizes + both join sides); persist it for
+    # the computation, then materialize the (small: thresholded pairs)
+    # result and FREE the cache before returning — the r3 shape left sh
+    # cached for the session's lifetime (r3 verdict nit #1)
     sh = sh.persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    try:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out
+        out = (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -203,16 +210,27 @@ def minhash_lsh_candidates(
     in all bands, in which case exact dedup (cheap, linear) is the
     right tool. None disables.
 
-    Physical shape (r3): ONE shuffle on (band, band_hash) gathering each
-    bucket's ids into an array, then narrow in-bucket pair expansion
-    (explode × explode, streamed — no array², rows stream out of the
-    generator) and a final (id_a, id_b) count. The r2 shape — a bucket-
-    size aggregate + left-semi guard + banded self-join — re-evaluated
-    the 64-hash signature subtree up to 4× (guard agg, semi probe, x, y)
-    and cost +59% on the sf0.1 bench; this computes it exactly once and
-    removes the self-join shuffle entirely. Per-bucket memory is
-    O(max_bucket) ids (≤8 KB at the default cap), the same key-locality
-    the join had, minus two shuffles.
+    Physical shape (r4): ONE shuffle on (band, band_hash); a window
+    count over that single exchange tags every banded row with its
+    bucket size, rows in buckets outside [2, max_bucket] are dropped
+    BEFORE the collect_list gather (r3 verdict nit #2 / ADVICE: the r3
+    shape filtered AFTER collect_list, so a degenerate 10^7-member
+    bucket still materialized its full id array in one aggregation
+    buffer), then the surviving buckets gather and do the narrow
+    in-bucket pair expansion (explode × explode, streamed) and a final
+    (id_a, id_b) count. The window sort and the collect_list reuse the
+    same exchange (plan-asserted: ONE shuffle of the banded projection,
+    tests/test_plans.py), so the 64-hash signature subtree still
+    computes exactly once — the r2 shape re-evaluated it up to 4×
+    (+59% wall). Per-bucket memory really is O(max_bucket) ids now
+    (≤8 KB at the default cap); the oversized bucket itself is only
+    row-buffered by the window operator, which spills.
+
+    ``max_bucket=None`` routes through the banded self-equi-join
+    instead: no id arrays at all, so memory stays bounded even for
+    degenerate buckets — the pair EXPANSION is still quadratic per
+    bucket (that is what None means), but it streams out of the join
+    rather than materializing per-bucket state.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -228,13 +246,28 @@ def minhash_lsh_candidates(
             ])
         ).alias("band", "band_hash"),
     )
+    if max_bucket is None:
+        x = banded.alias("x")
+        y = banded.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_hash") == F.col("y.band_hash"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .agg(F.count("*").alias("n_bands"))
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash")
     buckets = (
-        banded.groupBy("band", "band_hash")
+        banded.withColumn("__bsz", F.count("*").over(w))
+        .filter((F.col("__bsz") >= 2) & (F.col("__bsz") <= F.lit(max_bucket)))
+        .groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= F.lit(max_bucket))
     return (
         buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
         .select("id_a", F.explode("ids").alias("id_b"))

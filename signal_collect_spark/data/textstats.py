@@ -117,8 +117,11 @@ def repetition_stats(
         (1.0 - F.col("n_distinct") / F.col("total")).alias("dup_gram_frac"),
         (F.col("top") / F.col("total")).alias("top_gram_frac"),
     )
-    # docs too short to have any n-gram still get a row (fractions 0)
-    short = docs.join(out.select("id"), docs[id_col] == F.col("id"), "left_anti").select(
+    # docs too short to have any n-gram still get a row (fractions 0).
+    # The right side is aliased: with id_col == "id" an unaliased join
+    # condition is ambiguous and raises (ADVICE r3)
+    seen = out.select(F.col("id").alias("__seen_id"))
+    short = docs.join(seen, docs[id_col] == F.col("__seen_id"), "left_anti").select(
         F.col(id_col).alias("id"),
         F.lit(0).cast("long").alias("n_grams"),
         F.lit(0.0).alias("dup_gram_frac"),

@@ -61,13 +61,25 @@ def _ship_package(spark: SparkSession) -> None:
     job wasn't spark-submitted with ``--py-files``, that import fails.
     Shipping the package archive via ``addPyFile`` — the same artifact
     a cluster deployment passes to spark-submit — closes the gap. Uses
-    the prebuilt ``dist/signal_collect_spark.zip`` when present, else
-    zips the package source to a temp file once per session."""
+    the prebuilt ``dist/signal_collect_spark.zip`` when present AND at
+    least as new as every package source file (a stale zip would make
+    executors import old module code while the driver runs current
+    code — silent UDF divergence, ADVICE r3); otherwise zips the
+    package source to a temp file once per session."""
     if getattr(spark, "_scs_pyfiles_added", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(os.path.dirname(pkg_dir), "dist", "signal_collect_spark.zip")
-    if not os.path.exists(zip_path):
+    if os.path.exists(zip_path):
+        zip_mtime = os.path.getmtime(zip_path)
+        stale = any(
+            fn.endswith(".py") and os.path.getmtime(os.path.join(root, fn)) > zip_mtime
+            for root, _dirs, files in os.walk(pkg_dir)
+            for fn in files
+        )
+    else:
+        stale = True
+    if stale:
         import tempfile
         import zipfile
 

@@ -99,6 +99,12 @@ class Kernel:
     #: full-range 64-bit ids — a double would silently lose precision
     #: above 2^53. "long" requires edge_combine="value" (no weight math).
     value_dtype: str = "double"
+    #: declare that every emitted value is a VERTEX ID (e.g. min-label
+    #: CC propagates ids). When the engine's int32 byte diet is active
+    #: (all ids fit int32), such values ride the signal shuffle as int32
+    #: too — the id bound proves the value bound. Leave False for
+    #: kernels whose long values are not ids (counts, packed states).
+    value_is_id: bool = False
 
 
 @dataclass
@@ -162,6 +168,7 @@ def run_supersteps(
     hub_threshold: int | None = 500_000,
     num_partitions: int | str | None = None,
     edges_per_partition: int = 1_000_000,
+    compact_ids: bool | str = "auto",
     truncate_every: int = 4,
     check_every: int = 1,
     checkpoint_dir: str | None = None,
@@ -200,18 +207,69 @@ def run_supersteps(
     per-superstep cost on small graphs is fixed stage overhead, not task
     count, so shrinking P below the core count only serializes the real
     work without removing any overhead.
-    """
-    if num_partitions == "auto":
-        floor = spark.sparkContext.defaultParallelism
-        P = max(floor, min(200_000, -(-edges.count() // edges_per_partition)))
-    else:
-        P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    info = ExecutionInfo()
-    t0 = time.monotonic()
 
+    ``compact_ids`` is the SURVEY §7 byte diet on the persisted edge
+    cache the signal join re-reads EVERY superstep (the loop is
+    measured memory-bandwidth-bound once cores saturate a socket, so
+    cached bytes/edge is the per-superstep cost driver at fixed |E|):
+
+      * the cache is pruned to exactly (src, dst[, weight_col]) — the
+        raw ``weight`` column is dropped for kernels normalized onto
+        ``norm_weight`` (PageRank), and ALL weight columns are dropped
+        for ``edge_combine="value"`` kernels (CC) whose signal never
+        reads one;
+      * ``"auto"`` (default) downcasts src/dst — and the frontier id,
+        so the join stays cast-free — to int32 when one setup aggregate
+        proves every id fits; ``True`` skips the scan (caller
+        guarantees the bound), ``False`` disables. The scan is shared
+        with ``num_partitions="auto"``, so enabling both costs ONE
+        extra pass over the edge columns.
+      * a kernel with ``value_is_id`` (min-label CC) additionally rides
+        its signal VALUES as int32 — for CC the inbox shuffle drops
+        from (long, long) to (int, int).
+
+    Cached bytes/edge: PageRank 32 → 16, CC 24 → 8. Aggregation order
+    may change (different hash partitioning), so float results are
+    1e-6-stable vs the kernel's fixpoint, not bit-identical across the
+    compact_ids setting; integer-exact kernels (CC) are unchanged.
+    """
     spec = _agg_spec(kernel)
     if kernel.value_dtype == "long" and kernel.edge_combine != "value":
         raise ValueError("value_dtype='long' requires edge_combine='value' (no weight math)")
+    need_w = kernel.edge_combine != "value"
+    wcols = [kernel.weight_col] if need_w else []
+    e_in = edges.select("src", "dst", *wcols) if mode == "sql" else edges
+    scan = None
+    if num_partitions == "auto" or (mode == "sql" and compact_ids == "auto"):
+        scan = e_in.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.greatest("src", "dst")).alias("mx"),
+            F.min(F.least("src", "dst")).alias("mn"),
+        ).first()
+    if num_partitions == "auto":
+        floor = spark.sparkContext.defaultParallelism
+        P = max(floor, min(200_000, -(-scan["n"] // edges_per_partition)))
+    else:
+        P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    use32 = mode == "sql" and (
+        compact_ids is True
+        or (
+            compact_ids == "auto"
+            and scan["mx"] is not None
+            and scan["mx"] < 2**31
+            and scan["mn"] >= -(2**31)
+        )
+    )
+    if use32:
+        e_in = e_in.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            *wcols,
+        )
+    compact_value = use32 and kernel.value_is_id
+    info = ExecutionInfo()
+    t0 = time.monotonic()
+
     csr = None
     hub_salts = None
     if mode == "csr":
@@ -230,7 +288,7 @@ def run_supersteps(
         # one-time skew scan: hubs = sources whose fan-out exceeds the
         # per-task edge budget; tiny by construction (≤ |E|/threshold)
         hub_salts = (
-            edges.groupBy("src")
+            e_in.groupBy("src")
             .agg(F.count("*").alias("__deg"))
             .filter(F.col("__deg") > F.lit(hub_threshold))
             .select(
@@ -251,14 +309,14 @@ def run_supersteps(
         if hub_salts.count() == 0:
             hub_salts.unpersist()
             hub_salts = None
-            edges_p = G.partition_edges(edges, P).persist()
+            edges_p = G.partition_edges(e_in, P).persist()
         else:
             # the salted superstep plan (union + broadcast join) grows
             # Catalyst/cache-lookup cost SUPERLINEARLY with lineage
             # depth — measured 6s -> 97s per step by step 4 untruncated;
             # flat at 6s with truncation every 1-2 steps
             truncate_every = min(truncate_every, 2)
-            e = edges.join(F.broadcast(hub_salts), "src", "left")
+            e = e_in.join(F.broadcast(hub_salts), "src", "left")
             edges_p = e.withColumn(
                 "__salt",
                 F.when(
@@ -267,7 +325,7 @@ def run_supersteps(
                 ).otherwise(F.lit(0)),
             ).drop("__n_salt").repartition(P, "src", "__salt").persist()
     else:
-        edges_p = G.partition_edges(edges, P).persist()
+        edges_p = G.partition_edges(e_in, P).persist()
 
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, tag=checkpoint_tag)
@@ -286,11 +344,20 @@ def run_supersteps(
 
     agg_fn = _AGGS[spec[0][1]]
     pending: list[DataFrame] = []
+    # frontier projection under the byte diet: id (and, for value_is_id
+    # kernels, the emitted value) downcast to int32 so the signal join
+    # and inbox shuffle are int-typed end to end — no cast in the join
+    fid = F.col("id").cast("int").alias("id") if use32 else F.col("id")
+    fval = (
+        kernel.value().cast("int").alias("value")
+        if compact_value
+        else kernel.value().alias("value")
+    )
 
     for step in range(start_step, max_steps):
         ts = time.monotonic()
         frontier = state.filter(F.col("residual") > F.lit(signal_threshold)).select(
-            F.col("id"), kernel.value().alias("value")
+            fid, fval
         )
 
         if mode == "csr":
