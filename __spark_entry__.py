@@ -544,6 +544,15 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 25th doc plays the held-out
+    eval set; a doc is contaminated when >= 2 of its distinct word
+    3-grams appear anywhere in that set (dedup.py decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return D.decontaminate(docs, bench, n=3, min_hits=2)
+
+
 def _q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles(_docs(spark, sf_dir), n=3)
     return sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
@@ -1365,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vicinity": _q_vicinity,
         "exact_dedup": _q_exact_dedup,
         "doc_shingles": _q_doc_shingles,
+        "decontaminate": _q_decontaminate,
         "neardup_jaccard": _q_neardup_jaccard,
         "token_stats": _q_token_stats,
         "bpe_tokens": _q_bpe_tokens,
@@ -1463,6 +1473,14 @@ SELECT src AS id FROM dedges WHERE dst = 0""",
 FROM documents GROUP BY text""",
         "doc_shingles": f"""WITH {_SHINGLE_SQL.strip()}
 SELECT doc_id AS id, COUNT(DISTINCT shingle) AS n_shingles FROM tri GROUP BY doc_id""",
+        "decontaminate": f"""WITH {_SHINGLE_SQL.strip()},
+sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 25 = 0),
+hits AS (SELECT sh.id, COUNT(*) AS n_hits FROM sh JOIN bench USING (shingle) GROUP BY sh.id)
+SELECT d.id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 2 AS contaminated
+FROM (SELECT DISTINCT doc_id AS id FROM documents) d
+LEFT JOIN hits h ON h.id = d.id""",
         "neardup_jaccard": f"""WITH {_SHINGLE_SQL.strip()},
 sh AS (SELECT DISTINCT doc_id AS id, shingle FROM tri),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),

@@ -51,9 +51,29 @@ def label_propagation(
     t0 = time.monotonic()
 
     e = G.symmetrize(edges) if not directed else edges
+    e = e.select("src", "dst", "weight")
+    # same byte diet as the superstep engine (SURVEY §7): the per-round
+    # message join re-reads this cache, so int32 ids (and int32 LABELS —
+    # labels ⊆ vertex ids) cut cached bytes/edge 24 → 16 when ids fit
+    b = e.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).first()
+    use32 = b["mx"] is not None and b["mx"] < 2**31 and b["mn"] >= -(2**31)
+    if use32:
+        e = e.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            "weight",
+        )
     e = G.partition_edges(e, P).persist()
+    # state ids ride int32 too so the round join is cast-free on BOTH
+    # sides (a one-sided cast would re-exchange the edge cache every
+    # round); widened back to long at return
+    vid0 = F.col("id").cast("int").alias("id") if use32 else F.col("id")
     state = (
         G.vertices_from_edges(edges)
+        .select(vid0)
         .select("id", F.col("id").alias("label"))
         .repartition(P, "id")
         .persist()
@@ -112,4 +132,7 @@ def label_propagation(
     e.unpersist()
     info.wall_seconds = time.monotonic() - t0
     info.caches.append(state)
-    return state.select("id", "label"), info
+    out = state.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    return out, info

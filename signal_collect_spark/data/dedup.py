@@ -133,6 +133,51 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — the standard training-data filter:
+    flag every training document sharing ≥ ``min_hits`` distinct word
+    n-grams with ANY document of a held-out benchmark/eval set.
+
+    Returns one row per training doc: (id, n_hits, contaminated) where
+    n_hits = number of the doc's distinct n-grams that appear anywhere
+    in the benchmark set. Deterministic; no reference equivalent (the
+    reference predates LLM pipelines) — this composes the shingle
+    machinery the dedup tier already has.
+
+    Scale shape (100 TB corpus, MB-scale benchmark suite): the
+    benchmark side collapses to its DISTINCT n-gram set — bounded by
+    benchmark size, not corpus size — and is broadcast, so the corpus
+    is scanned exactly once with a map-side hash probe per shingle; the
+    only shuffle is the per-doc count aggregate (map-side combined).
+    """
+    sh = word_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    bench = (
+        word_shingles(benchmarks, n=n, id_col=bench_id_col, text_col=bench_text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(min_hits)).alias("contaminated"),
+    )
+
+
 def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for universal hashing mod 2^31-1."""
     import random

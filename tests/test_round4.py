@@ -298,6 +298,33 @@ def test_repetition_stats_id_column_named_id(spark):
     assert rows[2]["n_grams"] == 0
 
 
+def test_decontaminate(spark):
+    """Docs sharing >= min_hits distinct n-grams with the benchmark set
+    are flagged; disjoint docs are not; every doc gets a row."""
+    from signal_collect_spark.data.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # bench itself
+            (2, "a quick brown fox appeared in the brown fox jumps story"),
+            (3, "completely different words with no overlap at all"),
+            (4, "xx"),  # too short for any 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r["id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][1] is True  # the benchmark doc trivially matches itself
+    # doc 2 shares "quick brown fox" and "brown fox jumps" → 2 hits
+    assert got[2] == (2, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+
 def test_crawler_regex_reference_consuming_semantics(spark):
     """The reference pattern consumes through the first </a>: nested
     anchors inside a consumed span are skipped and an unclosed anchor
