@@ -218,20 +218,31 @@ def run_supersteps(
         ``norm_weight`` (PageRank), and ALL weight columns are dropped
         for ``edge_combine="value"`` kernels (CC) whose signal never
         reads one;
-      * ``"auto"`` (default) downcasts src/dst — and the frontier id,
-        so the join stays cast-free — to int32 when one setup aggregate
-        proves every id fits; ``True`` skips the scan (caller
-        guarantees the bound), ``False`` disables. The scan is shared
-        with ``num_partitions="auto"``, so enabling both costs ONE
-        extra pass over the edge columns.
+      * ``"auto"`` (default) downcasts src/dst to int32 STORAGE when
+        one setup aggregate proves every id fits; ``True`` skips the
+        scan (caller guarantees the bound), ``False`` disables. The
+        scan is shared with ``num_partitions="auto"``, so enabling both
+        costs ONE extra pass over the edge columns.
       * a kernel with ``value_is_id`` (min-label CC) additionally rides
-        its signal VALUES as int32 — for CC the inbox shuffle drops
-        from (long, long) to (int, int).
+        its signal VALUES as int32 — the inbox shuffle payload halves.
 
-    Cached bytes/edge: PageRank 32 → 16, CC 24 → 8. Aggregation order
-    may change (different hash partitioning), so float results are
-    1e-6-stable vs the kernel's fixpoint, not bit-identical across the
-    compact_ids setting; integer-exact kernels (CC) are unchanged.
+    The diet narrows STORAGE, never JOIN KEYS: the loop's one-exchange-
+    per-superstep shape depends on the frontier inheriting state's
+    hash(id: long) partitioning and on the inbox aggregate landing
+    co-partitioned with state, so the int cache is hash-partitioned on
+    the WIDENED key ``cast(src as long)`` — exactly the cast Catalyst
+    inserts into the mixed-type signal join, keeping the edge side
+    exchange-free — and ``dst`` is widened back to long BEFORE the
+    inbox groupBy so the aggregate's output partitioning matches the
+    state join. (The first cut of this cast the frontier id down
+    instead; that broke both co-partitionings and cost 1.5-2.9× wall —
+    measured, hence this shape.)
+
+    Cached bytes/edge: PageRank 32 → 16, CC 24 → 8. The widened casts
+    hash the same long values, so partition assignment — and with it
+    float aggregation grouping — matches the undieted run; integer
+    kernels are exact, float kernels are tested to 1e-9 against the
+    undieted plan.
     """
     spec = _agg_spec(kernel)
     if kernel.value_dtype == "long" and kernel.edge_combine != "value":
@@ -267,6 +278,10 @@ def run_supersteps(
             *wcols,
         )
     compact_value = use32 and kernel.value_is_id
+    # partition the (possibly int-stored) cache on the WIDENED key so it
+    # canonically matches the cast Catalyst adds to the long-vs-int
+    # signal join — storage narrows, join keys and partitioning don't
+    src_key = F.col("src").cast("long") if use32 else F.col("src")
     info = ExecutionInfo()
     t0 = time.monotonic()
 
@@ -309,7 +324,7 @@ def run_supersteps(
         if hub_salts.count() == 0:
             hub_salts.unpersist()
             hub_salts = None
-            edges_p = G.partition_edges(e_in, P).persist()
+            edges_p = e_in.repartition(P, src_key).persist()
         else:
             # the salted superstep plan (union + broadcast join) grows
             # Catalyst/cache-lookup cost SUPERLINEARLY with lineage
@@ -323,9 +338,9 @@ def run_supersteps(
                     F.col("__n_salt").isNotNull(),
                     F.pmod(F.xxhash64("dst"), F.col("__n_salt").cast("long")).cast("int"),
                 ).otherwise(F.lit(0)),
-            ).drop("__n_salt").repartition(P, "src", "__salt").persist()
+            ).drop("__n_salt").repartition(P, src_key, "__salt").persist()
     else:
-        edges_p = G.partition_edges(e_in, P).persist()
+        edges_p = e_in.repartition(P, src_key).persist()
 
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, tag=checkpoint_tag)
@@ -344,20 +359,23 @@ def run_supersteps(
 
     agg_fn = _AGGS[spec[0][1]]
     pending: list[DataFrame] = []
-    # frontier projection under the byte diet: id (and, for value_is_id
-    # kernels, the emitted value) downcast to int32 so the signal join
-    # and inbox shuffle are int-typed end to end — no cast in the join
-    fid = F.col("id").cast("int").alias("id") if use32 else F.col("id")
+    # the frontier id stays LONG — it must inherit state's hash(id)
+    # partitioning untouched for the exchange-free signal join; only the
+    # PAYLOAD narrows (value_is_id kernels emit int32 values)
     fval = (
         kernel.value().cast("int").alias("value")
         if compact_value
         else kernel.value().alias("value")
     )
+    # inbox target widened back to long BEFORE the aggregate, so the agg
+    # output lands hash-partitioned on a long key and the state/inbox
+    # join needs no further exchange
+    dst_out = F.col("e.dst").cast("long").alias("dst") if use32 else F.col("e.dst").alias("dst")
 
     for step in range(start_step, max_steps):
         ts = time.monotonic()
         frontier = state.filter(F.col("residual") > F.lit(signal_threshold)).select(
-            fid, fval
+            F.col("id"), fval
         )
 
         if mode == "csr":
@@ -393,9 +411,14 @@ def run_supersteps(
                 )
             else:
                 f, e = frontier.hint("shuffle_hash").alias("f"), edges_p.alias("e")
-                cond = F.col("f.id") == F.col("e.src")
+                # under the diet the cast is written EXPLICITLY so the
+                # join key is the same expression the cache was
+                # partitioned on (an implicitly-coerced cast may not
+                # canonicalize equal → spurious re-exchange)
+                e_src = F.col("e.src").cast("long") if use32 else F.col("e.src")
+                cond = F.col("f.id") == e_src
             sig = f.join(e, cond).select(
-                F.col("e.dst").alias("dst"),
+                dst_out,
                 _combine_expr(kernel.edge_combine, "f.value", f"e.{kernel.weight_col}").alias("m"),
             )
             # groupBy(dst) = message combining: Catalyst plans a partial
