@@ -1350,6 +1350,220 @@ SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
 FROM s GROUP BY user_id, sid"""
 
 
+# ---------------------------------------------------------------------------
+# round-4 additive operators: k-core, HITS, paragraph dedup, PII scrub,
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ORACLE_ROUNDS = 14  # sparse graph peels to fixpoint in 8; extra rounds are no-ops
+HITS_STEPS = 8
+PARA_WORDS = 8
+STRAT_N = 20
+
+
+def _q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the sparse undirected graph via distributed peeling
+    (kcore.py); oracle = the same peel unrolled round by round."""
+    from signal_collect_spark.algorithms.kcore import k_core
+
+    out, _info = k_core(
+        spark, sparse_edges(spark, sf_dir), KCORE_K, num_partitions=8
+    )
+    return out.select("id", "core_degree")
+
+
+def _k_core_sql() -> str:
+    k = KCORE_K
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        """e0 AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM sedges)""",
+    ]
+    for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+        ctes.append(
+            f""",d{r} AS (SELECT u, count(*) AS deg FROM
+  (SELECT a AS u FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1}) GROUP BY u),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN d{r} da ON da.u = e.a JOIN d{r} db ON db.u = e.b
+  WHERE da.deg >= {k} AND db.deg >= {k})"""
+        )
+    R = KCORE_ORACLE_ROUNDS
+    ctes.append(
+        f"""
+SELECT u AS id, count(*) AS core_degree
+FROM (SELECT a AS u FROM e{R} UNION ALL SELECT b FROM e{R}) GROUP BY u"""
+    )
+    return "\n".join(ctes)
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg hubs/authorities over the dense directed graph
+    (hits.py); oracle = the unrolled two-half-step power iteration."""
+    from signal_collect_spark.algorithms.hits import hits
+
+    out, _info = hits(
+        spark, dense_edges(spark, sf_dir), steps=HITS_STEPS, num_partitions=8
+    )
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_sql() -> str:
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        "h0 AS (SELECT id, 1.0 AS hub FROM dverts)",
+    ]
+    for s in range(1, HITS_STEPS + 1):
+        ctes.append(
+            f""",an{s} AS (
+  SELECT v.id, COALESCE(x.a, 0.0) AS araw FROM dverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.hub) AS a FROM dedges e
+    JOIN h{s - 1} h ON h.id = e.src GROUP BY e.dst) x ON x.id = v.id),
+a{s} AS MATERIALIZED (
+  SELECT id, CASE WHEN nr > 0 THEN araw / nr ELSE 0.0 END AS auth
+  FROM an{s}, (SELECT sqrt(SUM(araw * araw)) AS nr FROM an{s})),
+hn{s} AS (
+  SELECT v.id, COALESCE(x.h, 0.0) AS hraw FROM dverts v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.auth) AS h FROM dedges e
+    JOIN a{s} a ON a.id = e.dst GROUP BY e.src) x ON x.id = v.id),
+h{s} AS MATERIALIZED (
+  SELECT id, CASE WHEN nr > 0 THEN hraw / nr ELSE 0.0 END AS hub
+  FROM hn{s}, (SELECT sqrt(SUM(hraw * hraw)) AS nr FROM hn{s}))"""
+        )
+    S = HITS_STEPS
+    ctes.append(
+        f"""
+SELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS authority
+FROM h{S} h JOIN a{S} a ON a.id = h.id"""
+    )
+    return "\n".join(ctes)
+
+
+def _paradocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-shaped into paragraph form: text chunked into
+    PARA_WORDS-word paragraphs joined by newline (deterministic on both
+    engines — the synthetic corpus is single-line)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(float(PARA_WORDS))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(toks, i * PARA_WORDS + 1, PARA_WORDS), " "),
+    )
+    return docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+
+
+_PARADOCS_SQL = f"""
+pd AS (SELECT doc_id, array_to_string(list_transform(
+         range(0, CAST(ceil(len(t) / {PARA_WORDS}.0) AS INT)),
+         i -> array_to_string(t[i * {PARA_WORDS} + 1 : i * {PARA_WORDS} + {PARA_WORDS}], ' ')), chr(10)) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup (dedup.py
+    paragraph_dedup) over the paragraph-shaped corpus."""
+    return D.paragraph_dedup(_paradocs(spark, sf_dir)).select(
+        "id", "text_dedup", "n_paragraphs", "n_removed"
+    )
+
+
+def _paragraph_dedup_sql() -> str:
+    return f"""WITH {_PARADOCS_SQL.strip()},
+p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+         i -> struct_pack(pos := i, para := l[i]))) AS u
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM pd))),
+r AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk FROM p),
+k AS (SELECT doc_id, pos, para FROM r WHERE rk = 1),
+agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+               count(*) AS n_kept FROM k GROUP BY doc_id),
+orig AS (SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_paragraphs FROM pd)
+SELECT o.doc_id AS id, COALESCE(a.text_dedup, '') AS text_dedup, o.n_paragraphs,
+       (o.n_paragraphs - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+FROM orig o LEFT JOIN agg a ON a.doc_id = o.doc_id"""
+
+
+def _piidocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII injected into every
+    third row (the corpus itself is PII-free word soup)."""
+    docs = _docs(spark, sf_dir)
+    header = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-4567 "),
+    )
+    text2 = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(header, F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+_PIIDOCS_SQL = """
+pii AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.7 call 555-123-4567 ' || text
+       ELSE text END AS text FROM documents)
+"""
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (textstats.py pii_redact) — patterns are
+    RE2-compatible so DuckDB runs the IDENTICAL regexes."""
+    out = TS.pii_redact(_piidocs(spark, sf_dir))
+    return out.select(
+        "id",
+        "text_redacted",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+def _pii_redact_sql() -> str:
+    em, ip, ph = TS.PII_EMAIL_RE, TS.PII_IPV4_RE, TS.PII_PHONE_RE
+    return f"""WITH {_PIIDOCS_SQL.strip()}
+SELECT doc_id AS id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g')
+         AS text_redacted,
+       len(regexp_extract_all(text, '{em}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phones
+FROM pii"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ordered quota sample: STRAT_N docs per lang
+    (sampling.py stratified_sample, portable md5-60 order)."""
+    from signal_collect_spark.data import sampling as SAMP
+
+    out = SAMP.stratified_sample(_docs(spark, sf_dir), "lang", STRAT_N)
+    return out.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+def _stratified_sample_sql() -> str:
+    h = HS.sql_hash60("'strat|' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH h AS (SELECT doc_id, lang, {h} AS hh FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk FROM h)
+SELECT doc_id AS id, lang, rk AS sample_rank FROM r WHERE rk <= {STRAT_N}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -1407,6 +1621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl": _q_web_crawl,
         "sessions": _q_sessions,
         "embedding_neardup": _q_embedding_neardup,
+        "k_core": _q_k_core,
+        "hits": _q_hits,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1598,4 +1817,9 @@ FROM sverts""",
         "web_crawl": _web_crawl_sql(),
         "sessions": _sessions_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
+        "k_core": _k_core_sql(),
+        "hits": _hits_sql(),
+        "paragraph_dedup": _paragraph_dedup_sql(),
+        "pii_redact": _pii_redact_sql(),
+        "stratified_sample": _stratified_sample_sql(),
     }

@@ -13,6 +13,8 @@ from signal_collect_spark.algorithms.examples import (
     vertex_coloring,
 )
 from signal_collect_spark.algorithms.hamiltonian import hamiltonian_paths
+from signal_collect_spark.algorithms.hits import hits
+from signal_collect_spark.algorithms.kcore import core_number, k_core
 from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
 from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
 from signal_collect_spark.algorithms.pathquery import (
@@ -42,6 +44,9 @@ __all__ = [
     "schelling_segregation",
     "vertex_coloring",
     "hamiltonian_paths",
+    "hits",
+    "k_core",
+    "core_number",
     "sudoku",
     "SUDOKU1",
     "SUDOKU2",

@@ -25,6 +25,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from signal_collect_spark.data.hashing import (
@@ -469,3 +470,63 @@ def simhash_signatures(
         "id",
         sim.alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 64 - 16).cast("int"))
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    delim: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the CCNet/RefinedWeb line-level
+    pass): split every document on ``delim``, keep only the FIRST
+    occurrence of each distinct paragraph across the whole corpus
+    (first = smallest (doc id, position) — deterministic), and rebuild
+    documents from their surviving paragraphs in original order.
+
+    Returns (id, text_dedup, n_paragraphs, n_removed) for EVERY input
+    document (a fully-duplicated document survives as text_dedup = '').
+
+    Shape: one explode, one window ranked by (id, pos) partitioned on
+    the PARAGRAPH (Spark shuffles the string key once; dedup is exact —
+    no hash-collision mode), one ordered re-aggregation back to docs.
+    Paragraph-keyed skew (an empty/boilerplate paragraph repeated 10^8
+    times) is bounded by the same observation that makes the window
+    viable at 100 TB: row_number needs only each partition's sort, and
+    Spark's WindowGroupLimit pushes the rank<=1 filter map-side, so a
+    hot paragraph ships one survivor per map partition, not its full
+    group.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+    )
+    w = W.partitionBy("para").orderBy("id", "pos")
+    kept = (
+        paras.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    orig = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), delim)).cast("long").alias("n_paragraphs"),
+    )
+    return orig.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        "n_paragraphs",
+        (F.col("n_paragraphs") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+            "n_removed"
+        ),
+    )

@@ -181,3 +181,42 @@ def doc_fingerprint(
         ),
     )
     return docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+# PII patterns — RE2-compatible (no lookahead/backreference) so the
+# DuckDB oracle runs the IDENTICAL patterns; \b and \d mean the same
+# ASCII thing in Java regex and RE2
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_redacted, n_emails, n_ipv4, n_phones): regex PII scrub
+    of the standard pretraining-pipeline shape — emails, IPv4 addresses
+    and phone-like digit groups replaced with typed placeholder tokens,
+    with per-document match counts for audit/filter thresholds.
+
+    Counts are taken BEFORE redaction; replacements apply in a fixed
+    order (email → ipv4 → phone) so the three patterns cannot see each
+    other's placeholders. Expression-only: three regexp_extract_all +
+    three regexp_replace per row, all whole-stage-codegen'd — zero
+    Python in the scan, linear in corpus bytes, embarrassingly
+    partition-parallel (no shuffle at all).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        red.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+    )
