@@ -1543,6 +1543,42 @@ SELECT doc_id AS id,
 FROM pii"""
 
 
+PACK_SEQ_LEN = 512
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing (data/packing.py)
+    at seq_len=512 over whitespace token counts, hash-shuffled order."""
+    from signal_collect_spark.data.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    with_counts = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(with_counts, PACK_SEQ_LEN).select(
+        "id", "n_tokens", "start_offset", "seq_first", "seq_last", "n_seqs"
+    )
+
+
+def _pack_sequences_sql() -> str:
+    h = HS.sql_hash60("'pack|' || CAST(doc_id AS VARCHAR)")
+    L = PACK_SEQ_LEN
+    return f"""WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, {h} AS k
+  FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS start_offset
+      FROM t)
+SELECT doc_id AS id, n_tokens, start_offset,
+       start_offset // {L} AS seq_first,
+       (start_offset + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // {L} AS seq_last,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_offset + n_tokens - 1) // {L} - start_offset // {L} + 1
+       END::BIGINT AS n_seqs
+FROM c"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-ordered quota sample: STRAT_N docs per lang
     (sampling.py stratified_sample, portable md5-60 order)."""
@@ -1626,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1822,4 +1859,5 @@ FROM sverts""",
         "paragraph_dedup": _paragraph_dedup_sql(),
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "pack_sequences": _pack_sequences_sql(),
     }

@@ -1,0 +1,131 @@
+"""Deterministic sequence packing — the concat-and-chunk pass that
+turns a tokenized corpus into fixed-length training sequences.
+
+LLM training consumes fixed-size sequences (e.g. 4096 tokens); the
+standard high-throughput packing concatenates documents in a
+deterministic order and slices the stream every ``seq_len`` tokens,
+letting documents straddle chunk boundaries (GPT-style "packed"
+datasets). That formulation is exactly a prefix-sum, so it distributes
+as ONE window pass — no bin-packing heuristics, no driver loop, and
+the output assignment is a pure function of (order key, token counts):
+reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from signal_collect_spark.data.hashing import hash_fn_column
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    order: str = "hash",
+    seed: str = "pack|",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Assign every document a position in the packed token stream.
+
+    Documents are ordered by ``order`` ('hash': md5-60 of seed||id — a
+    deterministic shuffle, the right default so consecutive sequences
+    mix sources; 'id': ascending id — stable curriculum order), then
+    laid head-to-tail and cut every ``seq_len`` tokens.
+
+    Returns (id, n_tokens, start_offset, seq_first, seq_last, n_seqs):
+    token offset of the document in the global stream, the first and
+    last sequence indices it lands in, and how many sequences it spans
+    (documents longer than ``seq_len`` span several; empty documents
+    occupy none and report seq_first = seq_last = the sequence their
+    offset falls in with n_seqs = 0).
+
+    Scale shape: a naive total-order window would put the whole corpus
+    in ONE task (Spark's unpartitioned-window behavior). Instead, for
+    the 'hash' order the high bits of the uniform hash key ARE a range
+    partitioning — ordering by (bucket, key, id) equals ordering by
+    (key, id) — so the prefix sum runs two-level: a per-bucket window
+    (parallel across ~4×cores buckets, uniformly loaded because the
+    hash is uniform) plus a bucket-offset table of B rows joined back
+    broadcast-style. Only the B-row offset table is sequential. For
+    'id' order there is no distribution guarantee to bucket on, so it
+    keeps the single-partition window — use it for small curricula
+    only (a loud warning comes from Spark itself).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if order == "hash":
+        key = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    elif order == "id":
+        key = F.col(id_col)
+    else:
+        raise ValueError(f"unknown order {order!r}: 'hash' | 'id'")
+    toks = F.col(tokens_col).cast("long")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+        key.alias("__k"),
+    )
+    if order == "hash":
+        # bucket = high bits of the 60-bit hash: a power-of-two range
+        # split, so (bucket, k, id) order == (k, id) order exactly
+        spark = docs.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        bits = max(1, (4 * par - 1).bit_length())
+        keyed = keyed.withColumn("__b", F.shiftrightunsigned(F.col("__k"), 60 - bits))
+        in_bucket = F.sum("n_tokens").over(
+            W.partitionBy("__b").orderBy("__k", "id")
+        )
+        # B-row bucket totals → exclusive running offsets (tiny window)
+        offsets = (
+            keyed.groupBy("__b")
+            .agg(F.sum("n_tokens").alias("__t"))
+            .select(
+                "__b",
+                (
+                    F.sum("__t").over(W.orderBy("__b")) - F.col("__t")
+                ).alias("__off"),
+            )
+        )
+        positioned = (
+            keyed.withColumn("__cum", in_bucket)
+            .join(F.broadcast(offsets), "__b")
+            .select(
+                "id",
+                "n_tokens",
+                (F.col("__off") + F.col("__cum") - F.col("n_tokens")).alias(
+                    "start_offset"
+                ),
+            )
+        )
+    else:
+        positioned = keyed.select(
+            "id",
+            "n_tokens",
+            (F.sum("n_tokens").over(W.orderBy("__k", "id")) - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+        )
+    return (
+        positioned.select(
+            "id",
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / seq_len).alias("seq_first"),
+            F.floor(
+                (F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / seq_len
+            ).alias("seq_last"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.floor(
+                    (F.col("start_offset") + F.col("n_tokens") - 1) / seq_len
+                )
+                - F.floor(F.col("start_offset") / seq_len)
+                + 1
+            ).alias("n_seqs"),
+        )
+    )

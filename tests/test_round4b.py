@@ -289,3 +289,38 @@ def test_hash_fraction_sample_deterministic(spark):
     assert s1 == s2  # partitioning-independent
     assert s1 == {i for i in range(2000) if _h60(f"frac|{i}") < int(0.25 * 2**60)}
     assert 0.2 < len(s1) / 2000 < 0.3
+
+
+def test_pack_sequences_matches_python(spark):
+    from signal_collect_spark.data.packing import pack_sequences
+
+    rows = [(i, max(0, (i * 37) % 100 - (5 if i == 7 else 0)), f"d{i}") for i in range(30)]
+    rows[3] = (3, 0, "empty")  # zero-token doc
+    rows[9] = (9, 260, "giant")  # spans multiple seqs at seq_len=64
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens", "text"])
+    out = {r["id"]: r.asDict() for r in pack_sequences(docs, 64).collect()}
+
+    ordered = sorted(rows, key=lambda r: (_h60(f"pack|{r[0]}"), r[0]))
+    off = 0
+    for did, n, _ in ordered:
+        start = off
+        off += n
+        assert out[did]["start_offset"] == start, did
+        assert out[did]["seq_first"] == start // 64
+        last = (start + max(n - 1, 0)) // 64
+        assert out[did]["seq_last"] == last
+        expect_nseqs = 0 if n == 0 else last - start // 64 + 1
+        assert out[did]["n_seqs"] == expect_nseqs
+    assert out[9]["n_seqs"] >= 4  # the giant doc straddles
+
+
+def test_pack_sequences_id_order_and_total(spark):
+    from signal_collect_spark.data.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 10, "x") for i in range(10)], ["doc_id", "n_tokens", "text"]
+    )
+    out = sorted(
+        (r["id"], r["start_offset"]) for r in pack_sequences(docs, 32, order="id").collect()
+    )
+    assert out == [(i, 10 * i) for i in range(10)]
