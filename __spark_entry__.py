@@ -1600,6 +1600,63 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id AS id, lang, rk AS sample_rank FROM r WHERE rk <= {STRAT_N}"""
 
 
+WALK_LEN = 3
+WALKS_PER_VERTEX = 2
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the dense link graph: 2 walks of
+    3 hops from every vertex; next hop = sorted-neighbor list indexed by
+    the portable md5-60 hash of (seed, walk, step, vertex) mod degree —
+    replayed exactly by the unrolled SQL oracle."""
+    from signal_collect_spark.algorithms import random_walks
+
+    edges = dense_edges(spark, sf_dir)
+    out, _ = random_walks(
+        spark,
+        edges,
+        walk_len=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        hash_fn="portable",
+        num_partitions=8,
+    )
+    return out
+
+
+def _random_walks_sql() -> str:
+    """DuckDB replica of random_walks(hash_fn='portable'): same sorted
+    adjacency, same md5-60 hash of 'walk|'||walk||'|'||step||'|'||vertex,
+    same 1-indexed pick — unrolled one CTE per hop."""
+
+    def hop_hash(t: int) -> str:
+        return HS.sql_hash60(
+            f"'walk|' || CAST(s.walk AS VARCHAR) || '|{t}|' || CAST(s.vertex AS VARCHAR)"
+        )
+
+    hops = []
+    for t in range(1, WALK_LEN + 1):
+        hops.append(
+            f"""s{t} AS (
+  SELECT s.start_id, s.walk, {t} AS step,
+         list_extract(a.nbrs, CAST(1 + ({hop_hash(t)} % a.deg) AS INT)) AS vertex
+  FROM s{t - 1} s JOIN adj a ON s.vertex = a.src)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{t}" for t in range(WALK_LEN + 1)
+    )
+    walk_ids = ", ".join(str(i) for i in range(WALKS_PER_VERTEX))
+    return f"""WITH {_DENSE_SQL.strip()},
+adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs, count(*)::BIGINT AS deg
+        FROM dedges GROUP BY src),
+w AS (SELECT id AS start_id, CAST(r AS BIGINT) AS walk
+      FROM dverts, (SELECT unnest([{walk_ids}]) AS r)),
+s0 AS (SELECT start_id, walk, 0 AS step, start_id AS vertex FROM w),
+{','.join(hops)}
+SELECT start_id, CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
+       CAST(vertex AS BIGINT) AS vertex
+FROM ({union})"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -1663,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "random_walks": _q_random_walks,
     }
 
 
@@ -1860,4 +1918,5 @@ FROM sverts""",
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "random_walks": _random_walks_sql(),
     }

@@ -1,0 +1,152 @@
+"""Deterministic random walks — distributed graph-corpus sampling.
+
+Beyond-reference link-graph operator: fixed-length random walks from
+every (or a chosen set of) start vertices, the sampling pass behind
+DeepWalk/node2vec-style graph embeddings and behind walk-based corpus
+construction on web/link graphs. The reference's traversal surface
+(path queries, `modifyGraph` walkers) is driver-directed; this is the
+bulk analogue: millions of walks advance one hop per superstep-shaped
+join round.
+
+Determinism: the "random" next hop is a pure function of
+(seed, walk id, step, current vertex) — a 60-bit portable hash modulo
+the vertex out-degree, indexing into the neighbor list sorted by
+destination id. No RNG state, so the full walk set is reproducible
+across runs, partitionings, AND engines: a SQL oracle replays the
+identical choices (see `__spark_entry__.py` random_walks oracle).
+
+Scale shape: adjacency is packed ONCE into (src, sorted neighbor
+array, degree) — one shuffle — and persisted hash-partitioned on src.
+Each hop is then one join against that cached table + an `element_at`
+pick: only the (narrow, 3-column) frontier re-shuffles per hop — it
+must, the walk moved — while the adjacency never does. Walk rows are
+independent → perfectly
+data-parallel; dead ends (out-degree 0) simply stop emitting. The
+packed-array layout holds one row per vertex, so a hub with out-degree
+d stores a d-element array: bounded by ``max_degree`` (default 1M ≈
+8 MB/row) with a loud error pointing hub-heavy graphs at pre-capping
+(sample ``max_degree`` neighbors per hub with `hash_fraction_sample`
+semantics) rather than silently truncating.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark.data.hashing import hash_fn_column
+from signal_collect_spark.superstep import ExecutionInfo
+
+
+def random_walks(
+    spark,
+    edges: DataFrame,
+    *,
+    walk_len: int = 4,
+    walks_per_vertex: int = 1,
+    starts: DataFrame | None = None,
+    seed: str = "walk|",
+    hash_fn: str = "portable",
+    max_degree: int = 1_000_000,
+    num_partitions: int | str | None = None,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Run ``walks_per_vertex`` deterministic walks of ``walk_len`` hops
+    from every start vertex over the DIRECTED edge set.
+
+    Returns (DF[start_id, walk, step, vertex], info): one row per
+    visited position, step 0 = the start vertex itself. A walk that
+    reaches a vertex with no out-edges ends there (no padding rows).
+    ``starts`` (DF with an ``id`` column) restricts the start set;
+    default = every vertex appearing as a source or destination.
+
+    Next hop from vertex v at step t in walk w:
+    ``neighbors(v)[ H(seed||w||'|'||t||'|'||v) mod outdeg(v) ]`` with
+    neighbors sorted ascending — a pure function, so reproducible
+    anywhere the hash is (hash_fn='portable' == md5-60, replayable in
+    ANSI SQL; 'xxhash64' is the JVM fast path).
+    """
+    if walk_len < 0:
+        raise ValueError("walk_len must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = _time.monotonic()
+    info = ExecutionInfo()
+
+    pairs = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = (
+        pairs.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .select("src", "nbrs", F.size("nbrs").cast("long").alias("deg"))
+        .repartition(P, "src")
+        .persist()
+    )
+    worst = adj.agg(F.max("deg")).first()[0] or 0
+    if worst > max_degree:
+        adj.unpersist()
+        raise ValueError(
+            f"random_walks: max out-degree {worst} exceeds max_degree="
+            f"{max_degree}; pre-cap hub adjacency (deterministic per-hub "
+            "neighbor sample) before walking, or raise max_degree"
+        )
+
+    if starts is None:
+        starts = pairs.select(F.col("src").alias("id")).union(
+            pairs.select(F.col("dst").alias("id"))
+        ).distinct()
+    # explode over a literal array, NOT crossJoin against a tiny table —
+    # a CartesianProduct against an n-row literal plans n*P near-empty
+    # partitions (measured elsewhere in this repo: game_of_life 154s->10s)
+    frontier = (
+        starts.select(F.col("id").cast("long").alias("start_id"))
+        .withColumn(
+            "walk",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(walks_per_vertex)])),
+        )
+        .select("start_id", "walk", F.col("start_id").alias("vertex"))
+        .repartition(P, "vertex")
+    )
+
+    cur = frontier.select(
+        "start_id", "walk", F.lit(0).cast("int").alias("step"), "vertex"
+    ).localCheckpoint(eager=True)
+    traces = [cur]
+    for t in range(1, walk_len + 1):
+        key = hash_fn_column(
+            hash_fn,
+            F.concat(
+                F.lit(seed),
+                F.col("walk").cast("string"),
+                F.lit("|"),
+                F.lit(str(t)),
+                F.lit("|"),
+                F.col("vertex").cast("string"),
+            ),
+        )
+        stepped = (
+            cur.join(adj, cur["vertex"] == adj["src"])
+            .select(
+                "start_id",
+                "walk",
+                F.lit(t).cast("int").alias("step"),
+                F.element_at(F.col("nbrs"), (F.pmod(key, F.col("deg")) + 1).cast("int"))
+                .alias("vertex"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        info.per_step.append({"step": t, "rows": stepped.count()})
+        traces.append(stepped)
+        cur = stepped
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.union(t)
+    adj.unpersist()
+    info.supersteps = walk_len
+    info.wall_seconds = _time.monotonic() - t0
+    return out, info
