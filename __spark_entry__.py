@@ -1600,6 +1600,43 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id AS id, lang, rk AS sample_rank FROM r WHERE rk <= {STRAT_N}"""
 
 
+TFIDF_K = 3
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rank on 6-dp-rounded score,
+    term tie-break — deterministic both engines)."""
+    return TS.tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def _tfidf_sql() -> str:
+    return f"""WITH tk AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM tk GROUP BY id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+sc AS (SELECT tf.id, tf.term, tf.tf, dfq.df,
+              ROUND(tf.tf * ln(n.n_docs / dfq.df), 6) AS tfidf
+       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM sc)
+SELECT id, term, tf, df, tfidf FROM r WHERE rk <= {TFIDF_K}"""
+
+
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned out-degree histogram of the dense link graph — the
+    power-law fingerprint used to size hub-salting thresholds."""
+    return AGG.degree_distribution(dense_edges(spark, sf_dir), direction="out")
+
+
+def _degree_distribution_sql() -> str:
+    return f"""WITH {_DENSE_SQL.strip()},
+deg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM dedges GROUP BY src)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS bin, count(*) AS n_vertices,
+       min(deg) AS min_deg, max(deg) AS max_deg, CAST(sum(deg) AS BIGINT) AS sum_deg
+FROM deg GROUP BY bin"""
+
+
 WALK_LEN = 3
 WALKS_PER_VERTEX = 2
 
@@ -1721,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "random_walks": _q_random_walks,
+        "tfidf_topk": _q_tfidf,
+        "degree_distribution": _q_degree_distribution,
     }
 
 
@@ -1919,4 +1958,6 @@ FROM sverts""",
         "stratified_sample": _stratified_sample_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "random_walks": _random_walks_sql(),
+        "tfidf_topk": _tfidf_sql(),
+        "degree_distribution": _degree_distribution_sql(),
     }

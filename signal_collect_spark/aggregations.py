@@ -183,3 +183,38 @@ def graph_sample_json(state_df: DataFrame, edges: DataFrame, n: int = 100) -> Da
         F.to_json(F.struct(F.lit("edge").alias("kind"), "*")).alias("json")
     )
     return v_json.unionAll(e_json)
+
+
+def degree_distribution(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """(bin, n_vertices, min_deg, max_deg, sum_deg) — log2-binned degree
+    histogram (bin = floor(log2(deg)), i.e. degrees 2^b..2^(b+1)-1),
+    the standard power-law fingerprint of a web/link graph and the
+    first thing to inspect before sizing hub salting thresholds.
+
+    ``direction``: 'out', 'in', or 'total' (sum of both; a vertex seen
+    only on the other side counts 0 on this one). floor(log2) is taken
+    as length-of-binary-representation minus one — exact integer bit
+    math, no float log at any scale. One groupBy(vertex) + one tiny
+    groupBy(bin); both map-side combined.
+    """
+    if direction == "out":
+        per = edges.select(F.col("src").alias("v"))
+    elif direction == "in":
+        per = edges.select(F.col("dst").alias("v"))
+    elif direction == "total":
+        per = edges.select(F.col("src").alias("v")).unionAll(
+            edges.select(F.col("dst").alias("v"))
+        )
+    else:
+        raise ValueError("direction must be 'out', 'in', or 'total'")
+    deg = per.groupBy("v").agg(F.count("*").alias("deg"))
+    return (
+        deg.select((F.length(F.bin("deg")) - 1).cast("int").alias("bin"), "deg")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("sum_deg"),
+        )
+    )

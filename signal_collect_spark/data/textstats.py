@@ -10,6 +10,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 # deterministic mini stopword lists (top function words)
@@ -219,4 +220,51 @@ def pii_redact(
         n_emails.alias("n_emails"),
         n_ipv4.alias("n_ipv4"),
         n_phones.alias("n_phones"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) — the ``k`` highest-scoring terms per
+    document under plain TF-IDF: tf = raw in-document count, idf =
+    ln(N / df) with N = corpus size, df = number of documents containing
+    the term. Ties (and float noise) are pinned by ranking on the
+    6-dp-ROUNDED score with term as tie-break, so the top-k set is
+    deterministic and SQL-replayable.
+
+    Scale shape: explode → partial-aggregated (doc, term) counts → one
+    term-keyed aggregation for df → term-keyed join back → per-doc
+    window (WindowGroupLimit ships only k survivors per doc past the
+    sort). N comes from a 1-row aggregate crossJoined broadcast-style —
+    no driver action, the whole plan stays lazy. The reference has no
+    text surface; this extends its mapReduce/TopK aggregation family
+    (AggregationOperations.scala:60-96) to the documents table.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
     )
