@@ -1694,6 +1694,60 @@ SELECT start_id, CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
 FROM ({union})"""
 
 
+def _q_random_walks_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic walks over the sparse weighted
+    graph: hop threshold = (md5-60 mod 2^40)/2^40 x total weight against
+    the left-folded cumulative weights — integer-valued weights make
+    every running total exact, so the SQL oracle replays bit-identical
+    picks."""
+    from signal_collect_spark.algorithms import random_walks
+
+    out, _ = random_walks(
+        spark,
+        sparse_edges(spark, sf_dir),
+        walk_len=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        hash_fn="portable",
+        weight_col="weight",
+        num_partitions=8,
+    )
+    return out
+
+
+def _random_walks_weighted_sql() -> str:
+    FRAC = 1 << 40
+
+    def hop(t: int) -> str:
+        h = HS.sql_hash60(
+            f"'walk|' || CAST(s.walk AS VARCHAR) || '|{t}|' || CAST(s.vertex AS VARCHAR)"
+        )
+        thresh = f"(CAST({h} % {FRAC} AS DOUBLE) / {float(FRAC)}) * a.total_w"
+        idx = f"LEAST(a.deg, len(list_filter(a.cumw, c -> c <= {thresh})) + 1)"
+        return f"""s{t} AS (
+  SELECT s.start_id, s.walk, {t} AS step,
+         list_extract(a.nbrs, CAST({idx} AS INT)) AS vertex
+  FROM s{t - 1} s JOIN adj a ON s.vertex = a.src)"""
+
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{t}" for t in range(WALK_LEN + 1))
+    walk_ids = ", ".join(str(i) for i in range(WALKS_PER_VERTEX))
+    return f"""WITH {_SPARSE_SQL.strip()},
+cw AS (SELECT src, dst, weight AS w,
+              sum(weight) OVER (PARTITION BY src ORDER BY dst
+                                ROWS UNBOUNDED PRECEDING) AS cum
+       FROM sedges),
+adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs,
+               list(cum ORDER BY dst) AS cumw,
+               count(*)::BIGINT AS deg, max(cum) AS total_w
+        FROM cw GROUP BY src),
+w AS (SELECT id AS start_id, CAST(r AS BIGINT) AS walk
+      FROM sverts, (SELECT unnest([{walk_ids}]) AS r)),
+s0 AS (SELECT start_id, walk, 0 AS step, start_id AS vertex FROM w),
+{','.join(hop(t) for t in range(1, WALK_LEN + 1))}
+SELECT start_id, CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
+       CAST(vertex AS BIGINT) AS vertex
+FROM ({union})"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -1760,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "tfidf_topk": _q_tfidf,
         "degree_distribution": _q_degree_distribution,
+        "random_walks_weighted": _q_random_walks_weighted,
     }
 
 
@@ -1960,4 +2015,5 @@ FROM sverts""",
         "random_walks": _random_walks_sql(),
         "tfidf_topk": _tfidf_sql(),
         "degree_distribution": _degree_distribution_sql(),
+        "random_walks_weighted": _random_walks_weighted_sql(),
     }

@@ -40,6 +40,9 @@ from signal_collect_spark.data.hashing import hash_fn_column
 from signal_collect_spark.superstep import ExecutionInfo
 
 
+FRAC_MOD = 1 << 40  # 40-bit hash fraction: exact double, both engines
+
+
 def random_walks(
     spark,
     edges: DataFrame,
@@ -49,6 +52,7 @@ def random_walks(
     starts: DataFrame | None = None,
     seed: str = "walk|",
     hash_fn: str = "portable",
+    weight_col: str | None = None,
     max_degree: int = 1_000_000,
     num_partitions: int | str | None = None,
 ) -> tuple[DataFrame, ExecutionInfo]:
@@ -66,6 +70,16 @@ def random_walks(
     neighbors sorted ascending — a pure function, so reproducible
     anywhere the hash is (hash_fn='portable' == md5-60, replayable in
     ANSI SQL; 'xxhash64' is the JVM fast path).
+
+    ``weight_col`` switches to weight-proportional sampling: parallel
+    (src, dst) duplicates are summed, cumulative weights are folded
+    left-to-right over the dst-sorted neighbor list, and the hop picks
+    the first neighbor whose running total exceeds
+    ``(H mod 2^40) / 2^40 * total_weight``. Every arithmetic step is a
+    single IEEE-754 op in a pinned order, so an ANSI-SQL engine replays
+    the identical choices; with integer-valued weights (< 2^53 per
+    adjacency) the running totals are exact and even the summation
+    order stops mattering.
     """
     if walk_len < 0:
         raise ValueError("walk_len must be >= 0")
@@ -75,18 +89,54 @@ def random_walks(
     t0 = _time.monotonic()
     info = ExecutionInfo()
 
-    pairs = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    adj = (
-        pairs.groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .select("src", "nbrs", F.size("nbrs").cast("long").alias("deg"))
-        .repartition(P, "src")
-        .persist()
-    )
+    if weight_col is None:
+        pairs = (
+            edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        adj = (
+            pairs.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .select("src", "nbrs", F.size("nbrs").cast("long").alias("deg"))
+            .repartition(P, "src")
+            .persist()
+        )
+    else:
+        pairs = (
+            edges.select(
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        # sort_array on struct(dst, w) orders by dst (unique per src);
+        # cumw is a strict left fold, the order the SQL oracle replays
+        adj = (
+            pairs.groupBy("src")
+            .agg(F.sort_array(F.collect_list(F.struct("dst", "w"))).alias("nb"))
+            .select(
+                "src",
+                F.transform("nb", lambda x: x["dst"]).alias("nbrs"),
+                F.expr(
+                    "aggregate(nb, cast(array() as array<double>), (acc, x) -> "
+                    "array_append(acc, if(size(acc) = 0, x.w, "
+                    "element_at(acc, size(acc)) + x.w)))"
+                ).alias("cumw"),
+            )
+            .select(
+                "src",
+                "nbrs",
+                "cumw",
+                F.size("nbrs").cast("long").alias("deg"),
+                F.element_at("cumw", F.size("cumw")).alias("total_w"),
+            )
+            .repartition(P, "src")
+            .persist()
+        )
     worst = adj.agg(F.max("deg")).first()[0] or 0
     if worst > max_degree:
         adj.unpersist()
@@ -129,14 +179,28 @@ def random_walks(
                 F.col("vertex").cast("string"),
             ),
         )
+        if weight_col is None:
+            pick = F.element_at(
+                F.col("nbrs"), (F.pmod(key, F.col("deg")) + 1).cast("int")
+            )
+        else:
+            thresh = (
+                F.pmod(key, F.lit(FRAC_MOD)).cast("double") / F.lit(float(FRAC_MOD))
+            ) * F.col("total_w")
+            idx = F.least(
+                F.col("deg"),
+                (F.size(F.filter(F.col("cumw"), lambda c: c <= thresh)) + 1).cast(
+                    "long"
+                ),
+            )
+            pick = F.element_at(F.col("nbrs"), idx.cast("int"))
         stepped = (
             cur.join(adj, cur["vertex"] == adj["src"])
             .select(
                 "start_id",
                 "walk",
                 F.lit(t).cast("int").alias("step"),
-                F.element_at(F.col("nbrs"), (F.pmod(key, F.col("deg")) + 1).cast("int"))
-                .alias("vertex"),
+                pick.alias("vertex"),
             )
             .localCheckpoint(eager=True)
         )

@@ -94,3 +94,66 @@ def test_walks_xxhash_path_valid_edges(spark):
         assert seq[0] == (0, sid)
         for (t0, a), (t1, b) in zip(seq, seq[1:]):
             assert t1 == t0 + 1 and (a, b) in eset
+
+
+def _py_weighted_walks(tri, walk_len, walks_per_vertex, seed="walk|"):
+    from signal_collect_spark.algorithms.walks import FRAC_MOD
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    verts = set()
+    agg: dict[tuple, float] = {}
+    for a, b, w in tri:
+        if a == b:
+            continue
+        agg[(a, b)] = agg.get((a, b), 0.0) + w
+        verts.update((a, b))
+    for (a, b), w in agg.items():
+        adj.setdefault(a, []).append((b, w))
+    for v in adj:
+        adj[v].sort()
+    out = []
+    for v0 in verts:
+        for wk in range(walks_per_vertex):
+            cur = v0
+            out.append((v0, wk, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cum, s = [], 0.0
+                for _, w in nbrs:
+                    s += w
+                    cum.append(s)
+                thr = (_h60(f"{seed}{wk}|{t}|{cur}") % FRAC_MOD) / FRAC_MOD * cum[-1]
+                idx = min(len(nbrs), sum(1 for c in cum if c <= thr) + 1)
+                cur = nbrs[idx - 1][0]
+                out.append((v0, wk, t, cur))
+    return sorted(out)
+
+
+WPAIRS = [(1, 2, 1.0), (1, 3, 4.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 3.0),
+          (4, 1, 5.0), (2, 4, 1.0), (2, 4, 0.5)]  # parallel edge: weights sum
+
+
+def test_weighted_walks_match_python_replay(spark):
+    edges = spark.createDataFrame(WPAIRS, "src long, dst long, weight double")
+    out, info = random_walks(
+        spark, edges, walk_len=4, walks_per_vertex=3, weight_col="weight"
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _py_weighted_walks(WPAIRS, 4, 3)
+    assert info.supersteps == 4
+
+
+def test_weighted_walks_follow_heavy_edges(spark):
+    # vertex 0 has one overwhelming edge (w=1e6) and 9 w=1 edges: the
+    # deterministic fraction lands in the heavy edge's cum span for the
+    # vast majority of (walk, step) hashes
+    tri = [(0, 1, 1e6)] + [(0, i, 1.0) for i in range(2, 11)] + [(i, 0, 1.0) for i in range(1, 11)]
+    edges = spark.createDataFrame(tri, "src long, dst long, weight double")
+    out, _ = random_walks(
+        spark, edges, walk_len=1, walks_per_vertex=50,
+        starts=spark.createDataFrame([(0,)], "id long"), weight_col="weight",
+    )
+    hops = [r["vertex"] for r in out.collect() if r["step"] == 1]
+    assert len(hops) == 50 and hops.count(1) >= 48
