@@ -1600,6 +1600,38 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id AS id, lang, rk AS sample_rank FROM r WHERE rk <= {STRAT_N}"""
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 400
+
+
+def _q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix selection: fill each source's token quota
+    (weight x budget) in deterministic hash order."""
+    from signal_collect_spark.data.packing import mix_corpus
+
+    return mix_corpus(_docs(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET)
+
+
+def _mix_corpus_sql() -> str:
+    srcs = "', '".join(MIX_WEIGHTS)
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(round(w * MIX_BUDGET))}"
+        for s, w in MIX_WEIGHTS.items()
+    )
+    h = HS.sql_hash60("'mix|' || CAST(doc_id AS VARCHAR)")
+    return f"""WITH t AS (
+  SELECT doc_id AS id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens, {h} AS k
+  FROM documents WHERE source IN ('{srcs}')),
+c AS (SELECT id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+SELECT id, source, n_tokens, cum_before,
+       CAST(CASE source {case} END AS BIGINT) AS quota
+FROM c WHERE cum_before < quota"""
+
+
 TFIDF_K = 3
 
 
@@ -1815,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         "degree_distribution": _q_degree_distribution,
         "random_walks_weighted": _q_random_walks_weighted,
+        "mix_corpus": _q_mix_corpus,
     }
 
 
@@ -2016,4 +2049,5 @@ FROM sverts""",
         "tfidf_topk": _tfidf_sql(),
         "degree_distribution": _degree_distribution_sql(),
         "random_walks_weighted": _random_walks_weighted_sql(),
+        "mix_corpus": _mix_corpus_sql(),
     }

@@ -129,3 +129,94 @@ def pack_sequences(
             ).alias("n_seqs"),
         )
     )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "mix|",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Select a training mix: from each source, take documents in
+    deterministic hash order until that source's token quota
+    (``round(weights[source] * token_budget)``) is filled.
+
+    This is the data-mixing pass of an LLM pipeline — "20% code, 30%
+    web, ..." — made reproducible: a document is selected iff the
+    running token total of the docs hashed before it (within its
+    source) is still under the quota, so the chosen set is a pure
+    function of (seed, ids, token counts) and an ANSI-SQL engine
+    replays it exactly. The quota-filling doc itself is included
+    (budgets are met-or-slightly-exceeded, never under-filled while
+    source data remains); sources absent from ``weights`` contribute
+    nothing.
+
+    Returns (id, source, n_tokens, cum_before, quota) for the selected
+    documents. ``tokens_col`` supplies precomputed counts; default
+    counts whitespace tokens of ``text_col``.
+
+    Scale shape: same two-level prefix sum as :func:`pack_sequences`,
+    keyed per (source, hash-bucket) — the per-source running totals
+    parallelize across buckets because the hash order is uniform, and
+    only the (sources x buckets)-row offset table is sequential
+    (broadcast back). No single-partition window at any corpus size.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    n_tok = (
+        F.size(F.split(F.col(text_col), " ")).cast("long")
+        if tokens_col is None
+        else F.col(tokens_col).cast("long")
+    )
+    key = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    qpairs = []
+    for s, w in weights.items():
+        qpairs.extend([F.lit(s), F.lit(int(round(w * token_budget)))])
+    qmap = F.create_map(*qpairs)
+    keyed = (
+        docs.filter(F.col(source_col).isin(*list(weights)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("source"),
+            n_tok.alias("n_tokens"),
+            key.alias("__k"),
+        )
+    )
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    bits = max(1, (4 * par - 1).bit_length())
+    keyed = keyed.withColumn("__b", F.shiftrightunsigned(F.col("__k"), 60 - bits))
+    in_bucket = F.sum("n_tokens").over(
+        W.partitionBy("source", "__b").orderBy("__k", "id")
+    )
+    offsets = (
+        keyed.groupBy("source", "__b")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .select(
+            "source",
+            "__b",
+            (
+                F.sum("__t").over(W.partitionBy("source").orderBy("__b")) - F.col("__t")
+            ).alias("__off"),
+        )
+    )
+    return (
+        keyed.withColumn("__cum", in_bucket)
+        .join(F.broadcast(offsets), ["source", "__b"])
+        .select(
+            "id",
+            "source",
+            "n_tokens",
+            (F.col("__off") + F.col("__cum") - F.col("n_tokens")).alias("cum_before"),
+            qmap[F.col("source")].cast("long").alias("quota"),
+        )
+        .filter(F.col("cum_before") < F.col("quota"))
+    )

@@ -324,3 +324,52 @@ def test_pack_sequences_id_order_and_total(spark):
         (r["id"], r["start_offset"]) for r in pack_sequences(docs, 32, order="id").collect()
     )
     assert out == [(i, 10 * i) for i in range(10)]
+
+
+def test_mix_corpus_matches_python(spark):
+    import hashlib
+
+    from signal_collect_spark.data.packing import mix_corpus
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["tok"] * ((i * 7) % 23 + 1))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    weights = {"s0": 0.6, "s1": 0.4}  # s2 absent -> contributes nothing
+    budget = 150
+    got = sorted(tuple(r) for r in mix_corpus(docs, weights, budget).collect())
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exp = []
+    for src, w in weights.items():
+        quota = int(round(w * budget))
+        mine = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (h60(f"mix|{r[0]}"), r[0])
+        )
+        cum = 0
+        for did, _, text in mine:
+            n = len(text.split(" "))
+            if cum < quota:
+                exp.append((did, src, n, cum, quota))
+            cum += n
+    assert got == sorted(exp)
+    assert all(r[1] != "s2" for r in got)
+    # each source's selected token mass reaches its quota (data permits)
+    per = {}
+    for _, src, n, _, q in got:
+        per.setdefault(src, [0, q])[0] += n
+    for src, (tot, q) in per.items():
+        assert tot >= q, (src, tot, q)
+
+
+def test_mix_corpus_empty_budget_and_validation(spark):
+    import pytest as _pytest
+
+    from signal_collect_spark.data.packing import mix_corpus
+
+    docs = spark.createDataFrame([(1, "a", "x y")], ["doc_id", "source", "text"])
+    assert mix_corpus(docs, {"a": 1.0}, 0).count() == 0
+    with _pytest.raises(ValueError):
+        mix_corpus(docs, {}, 100)
