@@ -163,6 +163,27 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     TS.doc_fingerprint(docs, hash_fn="xxhash64").count()
     queries["text_stats"] = time.monotonic() - t0
 
+    # --- random walks: one 4-hop walk from every vertex (graph sampling) ----
+    from signal_collect_spark.algorithms import random_walks
+
+    t0 = time.monotonic()
+    wout, winfo = random_walks(
+        spark, edges, walk_len=4, walks_per_vertex=1, hash_fn="xxhash64"
+    )
+    extra["walk_rows"] = wout.count()
+    queries["random_walks"] = time.monotonic() - t0
+    winfo.release()
+
+    # --- corpus profiling + mixing: TF-IDF top terms, token-budget mix ------
+    from signal_collect_spark.data.packing import mix_corpus
+
+    t0 = time.monotonic()
+    TS.tfidf_topk(docs, k=3).count()
+    mix_corpus(
+        docs, {f"src{i}": 0.05 for i in range(20)}, 100_000, hash_fn="xxhash64"
+    ).count()
+    queries["tfidf_mix"] = time.monotonic() - t0
+
     # --- multimodal: encode+decode round trip (built-in BMP/Y4M codecs) ------
     from signal_collect_spark.data import multimodal as M
     from signal_collect_spark.data.codecs import encode_bmp_gray, encode_y4m_mono
