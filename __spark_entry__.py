@@ -1600,6 +1600,34 @@ r AS (SELECT doc_id, lang,
 SELECT doc_id AS id, lang, rk AS sample_rank FROM r WHERE rk <= {STRAT_N}"""
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the dense DIRECTED link graph
+    (FW-BW coloring rounds; label = min id in the SCC)."""
+    from signal_collect_spark.algorithms import strongly_connected_components
+
+    out, _ = strongly_connected_components(
+        spark, dense_edges(spark, sf_dir), num_partitions=8
+    )
+    return out
+
+
+def _scc_sql() -> str:
+    """Independent oracle: full transitive closure (recursive CTE),
+    mutual-reachability pairs, min-id label — never runs FW-BW."""
+    return f"""WITH RECURSIVE {_DENSE_SQL.strip()},
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lbl AS (
+  SELECT d.id, LEAST(d.id, COALESCE(MIN(m.v), d.id)) AS scc
+  FROM dverts d LEFT JOIN mutual m ON m.u = d.id GROUP BY d.id)
+SELECT id, scc FROM lbl"""
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 400
 
@@ -1848,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": _q_degree_distribution,
         "random_walks_weighted": _q_random_walks_weighted,
         "mix_corpus": _q_mix_corpus,
+        "scc": _q_scc,
     }
 
 
@@ -2050,4 +2079,5 @@ FROM sverts""",
         "degree_distribution": _degree_distribution_sql(),
         "random_walks_weighted": _random_walks_weighted_sql(),
         "mix_corpus": _mix_corpus_sql(),
+        "scc": _scc_sql(),
     }

@@ -17,6 +17,7 @@ from signal_collect_spark.algorithms.hits import hits
 from signal_collect_spark.algorithms.kcore import core_number, k_core
 from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
 from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
+from signal_collect_spark.algorithms.scc import strongly_connected_components
 from signal_collect_spark.algorithms.walks import random_walks
 from signal_collect_spark.algorithms.pathquery import (
     QueryNode,
@@ -55,4 +56,5 @@ __all__ = [
     "crawl_pagerank",
     "extract_links",
     "random_walks",
+    "strongly_connected_components",
 ]
