@@ -1628,6 +1628,57 @@ lbl AS (
 SELECT id, scc FROM lbl"""
 
 
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural profile (reciprocity, degree assortativity) of the
+    dense directed link graph — exact integer sums, pinned float
+    combine order."""
+    return AGG.graph_stats(dense_edges(spark, sf_dir))
+
+
+def _graph_stats_sql() -> str:
+    return f"""WITH {_DENSE_SQL.strip()},
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM dedges),
+nv AS (SELECT count(*)::BIGINT AS n_vertices FROM dverts),
+nr AS (SELECT count(*)::BIGINT AS n_reciprocal FROM dedges e
+       WHERE EXISTS (SELECT 1 FROM dedges r WHERE r.src = e.dst AND r.dst = e.src)),
+od AS (SELECT src, count(*)::BIGINT AS x FROM dedges GROUP BY src),
+idg AS (SELECT dst, count(*)::BIGINT AS y FROM dedges GROUP BY dst),
+sums AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+         FROM dedges e JOIN od USING (src) JOIN idg USING (dst))
+SELECT n_edges, n_vertices, n_reciprocal,
+       ROUND(CAST(n_reciprocal AS DOUBLE) / n_edges, 6) AS reciprocity,
+       ROUND(CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0
+                  THEN NULL
+                  ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6)
+         AS assortativity,
+       ROUND(CAST(n_edges AS DOUBLE) / n_vertices, 6) AS avg_out_deg
+FROM ne, nv, nr, sums"""
+
+
+def _q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min event-time windows per event_type — the
+    same F.window expression Structured Streaming executes."""
+    from signal_collect_spark.streaming import sliding_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_event_counts(ev, "10 minutes", "5 minutes")
+
+
+def _event_windows_sql() -> str:
+    return """WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, value FROM events),
+x AS (SELECT t, event_type, value,
+             unnest([(t // 300) * 300 - 300, (t // 300) * 300]) AS window_start
+      FROM e)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM x GROUP BY window_start, event_type"""
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 400
 
@@ -1877,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_weighted": _q_random_walks_weighted,
         "mix_corpus": _q_mix_corpus,
         "scc": _q_scc,
+        "graph_stats": _q_graph_stats,
+        "event_windows": _q_event_windows,
     }
 
 
@@ -2080,4 +2133,6 @@ FROM sverts""",
         "random_walks_weighted": _random_walks_weighted_sql(),
         "mix_corpus": _mix_corpus_sql(),
         "scc": _scc_sql(),
+        "graph_stats": _graph_stats_sql(),
+        "event_windows": _event_windows_sql(),
     }

@@ -218,3 +218,77 @@ def degree_distribution(edges: DataFrame, direction: str = "out") -> DataFrame:
             F.sum("deg").alias("sum_deg"),
         )
     )
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row structural profile of a directed graph: (n_edges,
+    n_vertices, n_reciprocal, reciprocity, assortativity, avg_out_deg).
+
+    * reciprocity — fraction of edges whose reverse edge exists (how
+      "social" vs "hierarchical" a link graph is).
+    * assortativity — Pearson correlation over edges between the
+      source's out-degree and the destination's in-degree (negative on
+      bow-tie web graphs: hubs point at low-in-degree pages). Computed
+      from EXACT integer sums (degrees are ints, sums < 2^53) combined
+      in a pinned double-arithmetic order, so a SQL oracle reproduces
+      the value bit-for-bit; degenerate zero variance yields NULL
+      (try_divide — ANSI mode would otherwise raise on the 0/0).
+
+    All inputs are map-side-combined aggregates plus one left-semi
+    self-join (reciprocal pairs) — no driver loops, no windows.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ne = e.agg(F.count("*").alias("n_edges"))
+    nv = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .agg(F.count("*").alias("n_vertices"))
+    )
+    nr = (
+        e.join(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+            "left_semi",
+        ).agg(F.count("*").alias("n_reciprocal"))
+    )
+    od = e.groupBy("src").agg(F.count("*").alias("x"))
+    idg = e.groupBy("dst").agg(F.count("*").alias("y"))
+    sums = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    dn = F.col("n").cast("double")
+    num = dn * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(dn * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")) * F.sqrt(
+        dn * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        ne.crossJoin(nv)
+        .crossJoin(nr)
+        .crossJoin(sums)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+            F.round(F.try_divide(num, den), 6).alias("assortativity"),
+            F.round(F.col("n_edges").cast("double") / F.col("n_vertices"), 6).alias(
+                "avg_out_deg"
+            ),
+        )
+    )

@@ -73,6 +73,34 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows per event_type — each
+    event lands in window/slide windows; starts align to the epoch,
+    exactly Spark's `F.window` contract, so a SQL engine replays the
+    assignment arithmetically (start in {floor(t/slide)*slide - k*slide}).
+    Identical code path batch or readStream (the watermark only takes
+    effect on streams).
+
+    Returns (window_start epoch-seconds, event_type, n_events,
+    sum_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 SESSION_STATE_SCHEMA = "n_events long, sum_value double, first_ts long, last_ts long"
 SESSION_OUT_SCHEMA = (
     "user_id long, n_events long, sum_value double, session_seconds double"
