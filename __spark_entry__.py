@@ -1679,6 +1679,69 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events,
 FROM x GROUP BY window_start, event_type"""
 
 
+KM_K = 4
+KM_ITERS = 2
+KM_DIM = 64
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table: pinned
+    hash-order seeds, left-fold distances, 6-dp-rounded means — the
+    SQL oracle replays every assignment."""
+    from signal_collect_spark.data.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _kmeans_sql() -> str:
+    h = HS.sql_hash60("'km|' || CAST(vec_id AS VARCHAR)")
+    dim1 = KM_DIM + 1
+
+    def dist(vtab: str, ctab: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim1}), i -> "
+            f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i]) * "
+            f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i])), (a, b) -> a + b)"
+        )
+
+    ctes = [
+        f"""e AS (SELECT vec_id AS id, embedding AS v, {h} AS hk FROM embeddings)""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY hk, id) - 1 AS cl,
+              list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+       FROM (SELECT * FROM e ORDER BY hk, id LIMIT {KM_K}))""",
+    ]
+    for it in range(1, KM_ITERS + 1):
+        prev = f"c{it - 1}f" if it > 1 else "c0"
+        ctes.append(
+            f"""d{it} AS (SELECT e.id, e.v, {prev}.cl, {dist('e', prev)} AS d
+       FROM e CROSS JOIN {prev})"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT id, v, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn FROM d{it})
+       WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (SELECT cl, i AS pos, ROUND(avg(CAST(v[i] AS DOUBLE)), 6) AS m
+       FROM a{it}, range(1, {dim1}) t(i) GROUP BY cl, i)"""
+        )
+        ctes.append(
+            f"""c{it} AS (SELECT cl, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cl)"""
+        )
+        ctes.append(
+            f"""c{it}f AS (SELECT p.cl, COALESCE(n.c, p.c) AS c
+       FROM {prev} p LEFT JOIN c{it} n ON n.cl = p.cl)"""
+        )
+    last = f"c{KM_ITERS}f"
+    return f"""WITH {','.join(ctes)},
+df AS (SELECT e.id, {last}.cl, {dist('e', last)} AS d FROM e CROSS JOIN {last}),
+af AS (SELECT id, cl FROM
+        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn FROM df)
+       WHERE rn = 1)
+SELECT id, CAST(cl AS INT) AS cluster FROM af"""
+
+
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 400
 
@@ -1930,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "graph_stats": _q_graph_stats,
         "event_windows": _q_event_windows,
+        "kmeans": _q_kmeans,
     }
 
 
@@ -2135,4 +2199,5 @@ FROM sverts""",
         "scc": _scc_sql(),
         "graph_stats": _graph_stats_sql(),
         "event_windows": _event_windows_sql(),
+        "kmeans": _kmeans_sql(),
     }

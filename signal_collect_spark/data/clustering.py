@@ -1,0 +1,108 @@
+"""Distributed k-means (Lloyd) over an embedding column.
+
+Unlike :func:`signal_collect_spark.data.similarity.ivf_train` (which
+mini-k-means a bounded DRIVER sample to seed the IVF quantizer), this
+is full distributed Lloyd: every iteration assigns EVERY corpus vector
+to its nearest centroid with JVM-side expressions (one left-fold
+squared-L2 per centroid — no Python in the scan) and recomputes
+centroids as distributed per-(cluster, position) means. Only the
+(k x dim) centroid table ever reaches the driver (the standard
+broadcast-parameter pattern — k*dim doubles, bytes not gigabytes).
+
+Everything is pinned for cross-engine replay: init centroids are the
+first k vectors in portable md5-60 hash order (deterministic,
+content-decorrelated), distances are strict left folds over the
+float32-exact components, ties pick the lowest centroid index, and
+centroid components are ROUNDED to 6 dp after each mean — so the
+aggregation-order float noise (~1e-13) in the means cannot leak into
+the next iteration's literals, and an ANSI-SQL engine running the same
+rounded iterations reproduces every assignment (the DuckDB oracle in
+`__spark_entry__.py` does exactly this).
+
+Scale shape per iteration: one scan + map-side-combined
+groupBy(cluster, pos) over k*dim groups. No shuffle of the vectors
+themselves beyond the posexplode aggregate; assignment is
+embarrassingly parallel. The reference has no clustering surface —
+this extends its aggregation family to the embeddings table the same
+way the ANN operators do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark.data.hashing import hash_fn_column
+
+
+def _dist_expr(vec_col, centroid: list[float]):
+    """Left-fold squared L2 between the vector column and a centroid
+    literal — identical fold order to the SQL oracle's list_reduce."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "km|",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from deterministic seeds; returns
+    (id, cluster) — cluster = 0..k-1 index of the nearest centroid
+    after the final update, lowest index on exact ties.
+
+    ``iters`` is fixed rather than convergence-driven so the result is
+    a pure function of the input (and SQL-replayable); callers wanting
+    convergence loop externally and compare the rounded centroid
+    tables between iterations.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = corpus.sparkSession
+    key = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), key.alias("__k")
+    ).persist()
+    try:
+        seeds = base.orderBy("__k", "id").limit(k).select("vec").collect()
+        cents = [[float(x) for x in r["vec"]] for r in seeds]
+        if len(cents) < k:
+            raise ValueError(f"kmeans: corpus has fewer than k={k} vectors")
+
+        assigned = None
+        for _ in range(iters):
+            dists = F.array(*[_dist_expr(F.col("vec"), c) for c in cents])
+            cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            assigned = base.select("id", "vec", cluster.alias("cluster"))
+            means = (
+                assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+                .collect()
+            )
+            new_cents = list(cents)
+            for r in means:  # empty clusters keep their previous centroid
+                new_cents[r["cluster"]] = [float(x) for x in r["c"]]
+            cents = new_cents
+        # final assignment against the post-update centroids
+        dists = F.array(*[_dist_expr(F.col("vec"), c) for c in cents])
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        out = base.select("id", cluster.alias("cluster"))
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        base.unpersist()
