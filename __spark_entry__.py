@@ -1679,6 +1679,32 @@ SELECT window_start, event_type, count(*)::BIGINT AS n_events,
 FROM x GROUP BY window_start, event_type"""
 
 
+COOC_MIN_W = 2
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a part-part co-occurrence link graph from the lineitem
+    bipartite (order, part) table — graph CONSTRUCTION, the step before
+    every link-graph analytic."""
+    from signal_collect_spark.graph import project_bipartite
+
+    li = _li(spark, sf_dir)
+    bip = li.select(
+        F.col("l_orderkey").alias("src"), (F.col("l_partkey") % 200).alias("dst")
+    )
+    return project_bipartite(bip, max_group=50, min_weight=COOC_MIN_W)
+
+
+def _cooccurrence_sql() -> str:
+    return f"""WITH e AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey % 200 AS i FROM lineitem),
+sz AS (SELECT g, count(*) AS n FROM e GROUP BY g),
+ok AS (SELECT e.g, e.i FROM e JOIN sz USING (g) WHERE sz.n BETWEEN 2 AND 50)
+SELECT a.i AS src, b.i AS dst, count(*)::BIGINT AS weight
+FROM ok a JOIN ok b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i HAVING count(*) >= {COOC_MIN_W}"""
+
+
 KM_K = 4
 KM_ITERS = 2
 KM_DIM = 64
@@ -1994,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "event_windows": _q_event_windows,
         "kmeans": _q_kmeans,
+        "cooccurrence_graph": _q_cooccurrence,
     }
 
 
@@ -2200,4 +2227,5 @@ FROM sverts""",
         "graph_stats": _graph_stats_sql(),
         "event_windows": _event_windows_sql(),
         "kmeans": _kmeans_sql(),
+        "cooccurrence_graph": _cooccurrence_sql(),
     }

@@ -213,3 +213,51 @@ def frontier_pid(id_col, num_partitions: int, salt_col=None):
     if salt_col is not None:
         base = base + salt_col
     return F.pmod(base, F.lit(num_partitions)).cast("int")
+
+
+def project_bipartite(
+    edges: DataFrame,
+    *,
+    group_col: str = "src",
+    item_col: str = "dst",
+    max_group: int = 1000,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Project a bipartite (group, item) edge table onto the item side:
+    returns (src, dst, weight) with src < dst and weight = number of
+    groups containing both items — the standard way link graphs are
+    BUILT from tabular co-occurrence (orders x parts, docs x terms,
+    commits x files).
+
+    Pair expansion is quadratic per group, so groups larger than
+    ``max_group`` are dropped BEFORE any per-group array materializes
+    (window count over the same single exchange the gather reuses —
+    the LSH hot-bucket shape, data/dedup.py). A 10^6-item degenerate
+    group would otherwise emit 10^12 pairs; capped, per-group memory
+    and output are O(max_group) / O(max_group^2). ``min_weight``
+    prunes the long tail of single-co-occurrence pairs at the source.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(group_col).cast("long").alias("g"),
+            F.col(item_col).cast("long").alias("i"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g")
+    groups = (
+        e.withColumn("__gsz", F.count("*").over(w))
+        .filter((F.col("__gsz") >= 2) & (F.col("__gsz") <= F.lit(max_group)))
+        .groupBy("g")
+        .agg(F.collect_list("i").alias("items"))
+    )
+    return (
+        groups.select(F.explode("items").alias("src"), F.col("items"))
+        .select("src", F.explode("items").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= F.lit(min_weight))
+    )

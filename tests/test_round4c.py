@@ -68,3 +68,35 @@ def test_graph_stats_zero_variance_yields_null(spark):
     row = AGG.graph_stats(edges).first()
     assert row["assortativity"] is None
     assert row["n_reciprocal"] == 2
+
+
+def test_project_bipartite_matches_python(spark):
+    from signal_collect_spark.graph import project_bipartite
+
+    rows = [(g, i) for g in range(6) for i in range(g % 4 + 1)] + [(0, 0), (5, 9)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in project_bipartite(edges, max_group=3).collect()
+    )
+    groups: dict[int, set] = {}
+    for g, i in set(rows):
+        groups.setdefault(g, set()).add(i)
+    exp: dict[tuple, int] = {}
+    for g, items in groups.items():
+        if not (2 <= len(items) <= 3):
+            continue
+        s = sorted(items)
+        for a in range(len(s)):
+            for b in range(a + 1, len(s)):
+                exp[(s[a], s[b])] = exp.get((s[a], s[b]), 0) + 1
+    assert got == sorted((a, b, w) for (a, b), w in exp.items())
+
+
+def test_project_bipartite_caps_hot_groups(spark):
+    from signal_collect_spark.graph import project_bipartite
+
+    rows = [(0, i) for i in range(100)] + [(1, 1), (1, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = project_bipartite(edges, max_group=10).collect()
+    # the 100-item group is dropped entirely; only the pair from group 1
+    assert [(r["src"], r["dst"], r["weight"]) for r in out] == [(1, 2, 1)]
