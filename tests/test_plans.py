@@ -105,3 +105,68 @@ def test_ann_broadcasts_queries(spark):
     # the small query side must broadcast — a shuffle of the corpus
     # against 3 rows would be wrong at 10^9 vectors
     assert "BroadcastExchange" in plan
+
+
+# --- round-4 operator plan shapes -----------------------------------------
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """The per-doc top-k must ship only k survivors per group past the
+    sort (WindowGroupLimit), not rank the full scored table."""
+    from signal_collect_spark.data import textstats as TS
+
+    docs = spark.createDataFrame([(0, "a b"), (1, "b c")], ["doc_id", "text"])
+    plan = _plan(TS.tfidf_topk(docs, k=3))
+    assert "WindowGroupLimit" in plan
+
+
+def test_mix_corpus_windows_are_bucket_partitioned(spark):
+    """No single-partition window at any corpus size: every window in
+    the plan must be partitioned (the two-level prefix sum), never a
+    global ORDER BY-only window."""
+    from signal_collect_spark.data.packing import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "x y") for i in range(4)], ["doc_id", "source", "text"]
+    )
+    plan = _plan(mix_corpus(docs, {"s0": 1.0}, 10))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the prefix sum is window-based
+    for args in specs:
+        # an UNPARTITIONED window's spec starts directly with the order
+        # spec ("col ASC NULLS FIRST, ..."); partitioned ones lead with
+        # plain partition columns
+        assert " ASC NULLS FIRST" not in args.split(",")[0], plan
+
+
+def test_kmeans_assignment_has_no_python_udf(spark):
+    """Assignment is JVM expression-only — no Arrow/Python eval in the
+    scan path."""
+    import struct
+
+    from signal_collect_spark.data.clustering import kmeans
+
+    rows = [
+        (i, [struct.unpack("f", struct.pack("f", float(i + j)))[0] for j in range(4)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans(df, k=2, iters=1)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_project_bipartite_single_exchange_for_guard_and_gather(spark):
+    """The hot-group window count and the collect_list gather must share
+    ONE shuffle of the (group, item) projection (the LSH shape)."""
+    rows = [(g, i) for g in range(4) for i in range(3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    from signal_collect_spark.graph import project_bipartite
+
+    plan = _plan(project_bipartite(edges))
+    # exchanges: one for distinct, one hashpartitioning(g) reused by
+    # window + aggregate, one for the final (src, dst) pair count
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
