@@ -1948,6 +1948,212 @@ SELECT start_id, CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
 FROM ({union})"""
 
 
+LINKPRED_TOPK = 1000
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top link-prediction candidates on the sparse undirected graph:
+    Adamic-Adar + common-neighbor count for UNLINKED pairs (linkpred.py).
+    Ordered on the ROUNDED score with (u, w) tie-breaks so both engines
+    select identical rows (file convention, header comment)."""
+    from signal_collect_spark.algorithms.linkpred import adamic_adar
+
+    scored = adamic_adar(
+        sparse_edges(spark, sf_dir), max_center_degree=1000
+    ).select(
+        "u", "w", "cn", F.round(F.col("aa"), 6).alias("aa")
+    )
+    return (
+        scored.orderBy(F.col("aa").desc(), F.col("u"), F.col("w"))
+        .limit(LINKPRED_TOPK)
+    )
+
+
+def _adamic_adar_sql() -> str:
+    return f"""WITH {_SPARSE_SQL.strip()},
+und AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM sedges),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT a AS v, count(*) AS deg FROM adj GROUP BY a),
+star AS (SELECT adj.a AS v, adj.b AS n, 1.0 / ln(deg.deg) AS w_inv
+         FROM adj JOIN deg ON deg.v = adj.a
+         WHERE deg.deg BETWEEN 2 AND 1000),
+wedges AS (SELECT s1.n AS u, s2.n AS w, s1.w_inv
+           FROM star s1 JOIN star s2 ON s1.v = s2.v AND s1.n < s2.n),
+scored AS (SELECT u, w, count(*)::BIGINT AS cn, ROUND(sum(w_inv), 6) AS aa
+           FROM wedges GROUP BY u, w),
+unlinked AS (SELECT s.* FROM scored s
+             LEFT JOIN und ON und.a = s.u AND und.b = s.w
+             WHERE und.a IS NULL)
+SELECT u, w, cn, aa FROM unlinked
+ORDER BY aa DESC, u, w LIMIT {LINKPRED_TOPK}"""
+
+
+HOST_MOD = 97
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-graph → host-graph rollup (graph.contract_graph): contract
+    the sparse link graph onto id % 97 groups, summing edge weights.
+    Integer-valued weights keep the double sums exact on both engines."""
+    from signal_collect_spark.graph import contract_graph, vertices_from_edges
+
+    edges = sparse_edges(spark, sf_dir)
+    mapping = vertices_from_edges(edges).select(
+        "id", (F.col("id") % HOST_MOD).alias("group")
+    )
+    return contract_graph(edges, mapping, weight_col="weight").select(
+        "gsrc", "gdst", "weight", "n_edges"
+    )
+
+
+def _host_graph_sql() -> str:
+    return f"""WITH {_SPARSE_SQL.strip()}
+SELECT src % {HOST_MOD} AS gsrc, dst % {HOST_MOD} AS gdst,
+       SUM(weight) AS weight, COUNT(*)::BIGINT AS n_edges
+FROM sedges
+WHERE src % {HOST_MOD} <> dst % {HOST_MOD}
+GROUP BY 1, 2"""
+
+
+NF_T = 6
+HARMONIC_TOPK = 20
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NF(t) on the dense DIRECTED graph, t = 0..NF_T — exact tier
+    (neighborhood.py; the 100 TB path is hyperball_harmonic, pytest-
+    checked against this same exact tier)."""
+    from signal_collect_spark.algorithms.neighborhood import neighborhood_function
+
+    return neighborhood_function(
+        spark, dense_edges(spark, sf_dir), NF_T, directed=True
+    )
+
+
+def _neighborhood_function_sql() -> str:
+    return f"""WITH RECURSIVE {_DENSE_SQL.strip()},
+reach(v, u, dist) AS (
+  SELECT id, id, 0 FROM dverts
+  UNION
+  SELECT r.v, e.dst, r.dist + 1
+  FROM reach r JOIN dedges e ON e.src = r.u WHERE r.dist < {NF_T}),
+md AS (SELECT v, u, MIN(dist) AS d FROM reach GROUP BY v, u)
+SELECT CAST(gs.t AS INT) AS t,
+       (SELECT COUNT(*) FROM md WHERE md.d <= gs.t)::BIGINT AS nf
+FROM generate_series(0, {NF_T}) gs(t)"""
+
+
+def _q_harmonic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality (radius NF_T) on the dense
+    UNDIRECTED graph, top HARMONIC_TOPK — exact tier, rounded score with
+    id tie-break (file convention)."""
+    from signal_collect_spark.algorithms.neighborhood import harmonic_centrality
+
+    h = harmonic_centrality(
+        spark, dense_edges(spark, sf_dir), NF_T, directed=False
+    ).select("id", F.round(F.col("harmonic"), 6).alias("harmonic"))
+    return h.orderBy(F.col("harmonic").desc(), F.col("id")).limit(HARMONIC_TOPK)
+
+
+def _harmonic_topk_sql() -> str:
+    return f"""WITH RECURSIVE {_DENSE_SQL.strip()},
+uedges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+reach(v, u, dist) AS (
+  SELECT id, id, 0 FROM dverts
+  UNION
+  SELECT r.v, e.dst, r.dist + 1
+  FROM reach r JOIN uedges e ON e.src = r.u WHERE r.dist < {NF_T}),
+md AS (SELECT v, u, MIN(dist) AS d FROM reach GROUP BY v, u)
+SELECT v AS id, ROUND(SUM(1.0::DOUBLE / d), 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY v
+ORDER BY harmonic DESC, id LIMIT {HARMONIC_TOPK}"""
+
+
+URL_HOSTS = 50
+URL_PATHS = 7
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw-URL table over documents: one of five arithmetic
+    variants (canonical / upper scheme+host / default port / trailing
+    slash / fragment) of a canonical URL derived from doc_id — so the
+    oracle computes the canonical form WITHOUT parsing, independently
+    cross-checking the regex normalization (data/web.py)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    k = F.col("doc_id") % URL_HOSTS
+    j = F.col("doc_id") % URL_PATHS
+    v = F.col("doc_id") % 5
+    return docs.select(
+        F.when(v == 0, F.format_string("http://host%d.com/p%d", k, j))
+        .when(v == 1, F.format_string("HTTP://HOST%d.COM/p%d", k, j))
+        .when(v == 2, F.format_string("http://host%d.com:80/p%d", k, j))
+        .when(v == 3, F.format_string("http://host%d.com/p%d/", k, j))
+        .otherwise(
+            F.format_string("http://host%d.com/p%d#sec%d", k, j, F.col("doc_id"))
+        )
+        .alias("url")
+    )
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize (RFC 3986 §6 conservative
+    subset) + count raw variants per canonical URL, host extracted from
+    the canonical form (data/web.py — all expression-only)."""
+    from signal_collect_spark.data.web import dedup_urls, url_host
+
+    out = dedup_urls(_urls(spark, sf_dir))
+    return out.select(
+        "url_norm", url_host("url_norm").alias("host"), "n_variants"
+    )
+
+
+def _url_dedup_sql() -> str:
+    return f"""SELECT 'http://host' || (doc_id % {URL_HOSTS}) || '.com/p' || (doc_id % {URL_PATHS}) AS url_norm,
+       'host' || (doc_id % {URL_HOSTS}) || '.com' AS host,
+       COUNT(*)::BIGINT AS n_variants
+FROM documents GROUP BY 1, 2"""
+
+
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic pages whose anchors carry MARKUP + ragged whitespace in
+    the bodies (mixed quote styles), dst/body both arithmetic."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    return docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("url"),
+        F.format_string(
+            '<a href="doc%d"> <b>Go</b>  to %d </a><i>x</i>'
+            "<a href='doc%d' rel=\"nofollow\">plain %d</a>",
+            (F.col("doc_id") * 7 + 1) % n,
+            F.col("doc_id") % 100,
+            (F.col("doc_id") * 11 + 3) % n,
+            (F.col("doc_id") * 13) % 9,
+        ).alias("html"),
+    )
+
+
+def _q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text edge extraction (data/web.py): (src, dst, anchor)
+    with inner markup stripped and whitespace collapsed. The oracle
+    derives both dst and the cleaned anchor arithmetically — the regex
+    + strip pipeline is independently checked."""
+    from signal_collect_spark.data.web import anchor_texts
+
+    return anchor_texts(_anchor_pages(spark, sf_dir))
+
+
+def _anchor_text_sql() -> str:
+    return """WITH nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT 'doc' || d.doc_id AS src,
+       'doc' || ((d.doc_id*7 + 1) % nn.n) AS dst,
+       'Go to ' || (d.doc_id % 100) AS anchor
+FROM documents d, nn
+UNION ALL
+SELECT 'doc' || d.doc_id, 'doc' || ((d.doc_id*11 + 3) % nn.n),
+       'plain ' || ((d.doc_id*13) % 9)
+FROM documents d, nn"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2021,6 +2227,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": _q_event_windows,
         "kmeans": _q_kmeans,
         "cooccurrence_graph": _q_cooccurrence,
+        "adamic_adar": _q_adamic_adar,
+        "host_graph": _q_host_graph,
+        "neighborhood_function": _q_neighborhood_function,
+        "harmonic_topk": _q_harmonic_topk,
+        "url_dedup": _q_url_dedup,
+        "anchor_text": _q_anchor_text,
     }
 
 
@@ -2228,4 +2440,10 @@ FROM sverts""",
         "event_windows": _event_windows_sql(),
         "kmeans": _kmeans_sql(),
         "cooccurrence_graph": _cooccurrence_sql(),
+        "adamic_adar": _adamic_adar_sql(),
+        "host_graph": _host_graph_sql(),
+        "neighborhood_function": _neighborhood_function_sql(),
+        "harmonic_topk": _harmonic_topk_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "anchor_text": _anchor_text_sql(),
     }

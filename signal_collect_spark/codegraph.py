@@ -186,3 +186,27 @@ def verify_content_sha256(source: DataFrame, nodes: DataFrame) -> int:
     )
     joined = nodes.join(src_hash, ["repo", "path", "commit"], "inner")
     return joined.filter(F.col("content_sha256") != F.col("h")).count()
+
+
+def package_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Contract the file-level code link graph to the package level —
+    the web page-graph → host-graph rollup, applied to code: one row
+    per (src_package, dst_package) with the number of underlying
+    file-to-file references. Package = the path's directory part
+    (``src/pkg_i`` in the fixture layout), qualified by repo so two
+    repos' identically-named packages stay distinct vertices.
+
+    Built on :func:`signal_collect_spark.graph.contract_graph`; see its
+    docstring for the two-join + map-side-combine scale shape.
+    """
+    from signal_collect_spark.graph import contract_graph
+
+    mapping = nodes.select(
+        F.col("node_id").alias("id"),
+        F.concat(
+            F.col("repo"),
+            F.lit("::"),
+            F.regexp_replace(F.col("path"), r"/[^/]+$", ""),
+        ).alias("group"),
+    )
+    return contract_graph(edges, mapping)

@@ -261,3 +261,48 @@ def project_bipartite(
         .agg(F.count("*").alias("weight"))
         .filter(F.col("weight") >= F.lit(min_weight))
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    *,
+    drop_self_loops: bool = True,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Contract a vertex-level edge list onto a coarser partition of the
+    vertex set: the page-graph → host-graph rollup of web analytics
+    (here: file-level code links → package/repo-level links).
+
+    ``mapping`` is DataFrame[id, group]; every edge (src, dst) becomes
+    (group(src), group(dst)), aggregated to one row per group pair with
+    ``weight`` = number of underlying edges (or sum of ``weight_col``).
+    Vertices missing from ``mapping`` drop out (inner join — the same
+    undeliverable-signal default as the engine,
+    interfaces/Handlers.scala:39-50).
+
+    Scale shape: two hash joins on the vertex id (the mapping is a dim
+    table — at web scale it is usually small enough per-partition that
+    AQE broadcasts it; at 10^12 vertices both joins co-partition on id)
+    followed by ONE hash aggregation on the (gsrc, gdst) pair with
+    map-side combine — the group-pair domain is quadratically smaller
+    than the edge domain, so partial aggregation collapses the shuffle.
+    All expression-only.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    m_src = mapping.select(F.col("id").alias("__sid"), F.col("group").alias("gsrc"))
+    m_dst = mapping.select(F.col("id").alias("__did"), F.col("group").alias("gdst"))
+    out = (
+        edges.select(F.col("src"), F.col("dst"), w.alias("__w"))
+        .join(m_src, F.col("src") == F.col("__sid"), "inner")
+        .join(m_dst, F.col("dst") == F.col("__did"), "inner")
+        .groupBy("gsrc", "gdst")
+        .agg(F.sum("__w").alias("weight"), F.count("*").alias("n_edges"))
+    )
+    if drop_self_loops:
+        out = out.filter(F.col("gsrc") != F.col("gdst"))
+    return out
