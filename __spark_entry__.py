@@ -1988,6 +1988,40 @@ SELECT u, w, cn, aa FROM unlinked
 ORDER BY aa DESC, u, w LIMIT {LINKPRED_TOPK}"""
 
 
+COCITE_TOPK = 1000
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation strength (Small '73) on the sparse DIRECTED graph,
+    top pairs by strength with (u, w) tie-break (linkpred.py)."""
+    from signal_collect_spark.algorithms.linkpred import cocitation
+
+    out = cocitation(sparse_edges(spark, sf_dir), max_center_degree=1000)
+    return out.orderBy(F.col("strength").desc(), "u", "w").limit(COCITE_TOPK)
+
+
+def _q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler '63) — the transpose wedge."""
+    from signal_collect_spark.algorithms.linkpred import bibliographic_coupling
+
+    out = bibliographic_coupling(
+        sparse_edges(spark, sf_dir), max_center_degree=1000
+    )
+    return out.orderBy(F.col("strength").desc(), "u", "w").limit(COCITE_TOPK)
+
+
+def _directed_wedge_sql(center: str, leaf: str) -> str:
+    return f"""WITH {_SPARSE_SQL.strip()},
+e AS (SELECT DISTINCT {center} AS c, {leaf} AS n FROM sedges WHERE {center} <> {leaf}),
+deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
+ee AS (SELECT e.c, e.n FROM e JOIN deg USING (c) WHERE deg.d <= 1000),
+pairs AS (SELECT e1.n AS u, e2.n AS w, count(*)::BIGINT AS strength
+          FROM ee e1 JOIN ee e2 ON e1.c = e2.c AND e1.n < e2.n
+          GROUP BY 1, 2)
+SELECT u, w, strength FROM pairs
+ORDER BY strength DESC, u, w LIMIT {COCITE_TOPK}"""
+
+
 HOST_MOD = 97
 
 
@@ -2154,6 +2188,94 @@ SELECT 'doc' || d.doc_id, 'doc' || ((d.doc_id*11 + 3) % nn.n),
 FROM documents d, nn"""
 
 
+REDIR_MOD = 20
+REDIR_TERM = 15
+
+
+def _redirect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic redirect log over documents: within each complete
+    block of 20 doc_ids, positions 0..14 chain upward to the terminal
+    at position 15 (chains up to 15 hops — exercises 4 doubling
+    rounds), positions 16↔17 form a 2-cycle, 18/19 never redirect.
+    Complete blocks only, so the oracle's closed forms hold exactly."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    cut = n - n % REDIR_MOD
+    m = F.col("doc_id") % REDIR_MOD
+    return (
+        docs.filter(F.col("doc_id") < cut)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.when(m < REDIR_TERM, F.col("doc_id") + 1)
+            .when(m == 16, F.col("doc_id") + 1)
+            .when(m == 17, F.col("doc_id") - 1)
+            .alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def _q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling (redirects.py):
+    O(log chain) self-join rounds with exact stall-based cycle
+    detection. The oracle states final/hops in CLOSED FORM from the
+    block arithmetic — the whole doubling loop is independently
+    checked, round count and all."""
+    from signal_collect_spark.algorithms.redirects import resolve_redirects
+
+    out, _ = resolve_redirects(spark, _redirect_table(spark, sf_dir), num_partitions=8)
+    return out
+
+
+def _redirects_sql() -> str:
+    return f"""WITH nn AS (SELECT {REDIR_MOD} * (COUNT(*) // {REDIR_MOD}) AS cut FROM documents),
+s AS (SELECT doc_id, doc_id % {REDIR_MOD} AS m FROM documents, nn WHERE doc_id < nn.cut),
+r AS (SELECT doc_id AS src, m FROM s WHERE m < {REDIR_TERM} OR m IN (16, 17))
+SELECT src,
+       CASE WHEN m < {REDIR_TERM} THEN src + ({REDIR_TERM} - m) END AS final,
+       CASE WHEN m < {REDIR_TERM} THEN CAST({REDIR_TERM} - m AS BIGINT) END AS hops,
+       (m IN (16, 17)) AS is_cycle
+FROM r"""
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (Broder WWW'00) of the dense directed
+    graph: CORE = largest SCC, IN/OUT by BFS sweeps (bowtie.py). The
+    oracle classifies from the full transitive closure — it never runs
+    SCC coloring or level-synchronous BFS."""
+    from signal_collect_spark.algorithms.bowtie import bowtie
+
+    out, _ = bowtie(spark, dense_edges(spark, sf_dir), num_partitions=8)
+    return out
+
+
+def _bowtie_sql() -> str:
+    return f"""WITH RECURSIVE {_DENSE_SQL.strip()},
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+lbl AS (
+  SELECT d.id, LEAST(d.id, COALESCE(MIN(m.v), d.id)) AS scc
+  FROM dverts d LEFT JOIN mutual m ON m.u = d.id GROUP BY d.id),
+core_lbl AS (
+  SELECT scc FROM lbl GROUP BY scc ORDER BY COUNT(*) DESC, scc ASC LIMIT 1),
+core AS (SELECT id FROM lbl WHERE scc = (SELECT scc FROM core_lbl)),
+fwd AS (SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id),
+bwd AS (SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id)
+-- classify from lbl (GROUP BY'd: exactly one row per vertex — under
+-- WITH RECURSIVE DuckDB does not dedupe dverts' UNION)
+SELECT l.id,
+       CASE WHEN l.id IN (SELECT id FROM core) THEN 'CORE'
+            WHEN l.id IN (SELECT id FROM bwd) THEN 'IN'
+            WHEN l.id IN (SELECT id FROM fwd) THEN 'OUT'
+            ELSE 'OTHER' END AS part
+FROM lbl l"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2233,6 +2355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_topk": _q_harmonic_topk,
         "url_dedup": _q_url_dedup,
         "anchor_text": _q_anchor_text,
+        "redirect_resolve": _q_redirects,
+        "bowtie": _q_bowtie,
+        "cocitation": _q_cocitation,
+        "bib_coupling": _q_bib_coupling,
     }
 
 
@@ -2446,4 +2572,8 @@ FROM sverts""",
         "harmonic_topk": _harmonic_topk_sql(),
         "url_dedup": _url_dedup_sql(),
         "anchor_text": _anchor_text_sql(),
+        "redirect_resolve": _redirects_sql(),
+        "bowtie": _bowtie_sql(),
+        "cocitation": _directed_wedge_sql("src", "dst"),
+        "bib_coupling": _directed_wedge_sql("dst", "src"),
     }

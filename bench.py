@@ -174,6 +174,13 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     queries["random_walks"] = time.monotonic() - t0
     winfo.release()
 
+    # --- link prediction: Adamic-Adar candidate pairs on the bench graph ----
+    from signal_collect_spark.algorithms.linkpred import adamic_adar
+
+    t0 = time.monotonic()
+    extra["linkpred_pairs"] = adamic_adar(edges, max_center_degree=1000).count()
+    queries["linkpred_aa"] = time.monotonic() - t0
+
     # --- corpus profiling + mixing: TF-IDF top terms, token-budget mix ------
     from signal_collect_spark.data.packing import mix_corpus
 

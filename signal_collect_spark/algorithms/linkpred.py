@@ -119,3 +119,50 @@ def common_neighbors(
     return adamic_adar(edges, max_center_degree=max_center_degree).select(
         "u", "w", "cn"
     )
+
+
+def _directed_wedges(
+    edges: DataFrame, center: str, leaf: str, max_center_degree: int | None
+) -> DataFrame:
+    """Pairs of distinct ``leaf`` endpoints sharing one ``center``
+    endpoint on the directed simple graph; same center-partitioned
+    self-join + degree-cap shape as :func:`adamic_adar` (the quadratic
+    hazard is identical)."""
+    e = (
+        edges.select(F.col(center).alias("c"), F.col(leaf).alias("n"))
+        .filter(F.col("c") != F.col("n"))
+        .distinct()
+    )
+    if max_center_degree is not None:
+        deg = e.groupBy("c").agg(F.count("*").alias("__deg"))
+        e = (
+            e.join(deg.filter(F.col("__deg") <= int(max_center_degree)), "c")
+            .drop("__deg")
+        )
+    s1 = e.select("c", F.col("n").alias("n1"))
+    s2 = e.select(F.col("c").alias("c2"), F.col("n").alias("n2"))
+    return (
+        s1.join(s2, (s1["c"] == s2["c2"]) & (s1["n1"] < s2["n2"]))
+        .groupBy(F.col("n1").alias("u"), F.col("n2").alias("w"))
+        .agg(F.count("*").alias("strength"))
+    )
+
+
+def cocitation(
+    edges: DataFrame, *, max_center_degree: int | None = 1000
+) -> DataFrame:
+    """Co-citation strength (Small, JASIS 1973): DataFrame[u, w,
+    strength] with u < w — the number of pages citing BOTH u and w
+    (wedge center = the citing page's out-neighborhood). The classic
+    relatedness signal on citation/web/code link graphs."""
+    return _directed_wedges(edges, "src", "dst", max_center_degree)
+
+
+def bibliographic_coupling(
+    edges: DataFrame, *, max_center_degree: int | None = 1000
+) -> DataFrame:
+    """Bibliographic coupling (Kessler, American Documentation 1963):
+    DataFrame[u, w, strength] with u < w — the number of pages cited by
+    BOTH u and w (wedge center = the shared reference's in-neighborhood).
+    """
+    return _directed_wedges(edges, "dst", "src", max_center_degree)

@@ -264,6 +264,7 @@ def hyperball_harmonic(
 
     prev_sum = _regsum(state)
     for t in range(1, max_t + 1):
+        ts = _time.monotonic()
         sig = e.join(state, e["src"] == state["id"], "inner").select(
             F.col("dst").alias("id"), *rcols
         )
@@ -296,7 +297,13 @@ def hyperball_harmonic(
         nxt = nxt.repartition(P, "id").localCheckpoint(eager=True)
         cur_sum = _regsum(nxt)
         info.supersteps = t
-        info.per_step.append({"t": t, "register_sum": cur_sum})
+        info.per_step.append(
+            {
+                "t": t,
+                "register_sum": cur_sum,
+                "wall_ms": (_time.monotonic() - ts) * 1000.0,
+            }
+        )
         state = nxt
         if cur_sum == prev_sum:
             break

@@ -86,3 +86,64 @@ def test_min_score_filters_output(spark):
     thresh = sorted(aa for _, aa in full.values())[len(full) // 2]
     got = _collect(adamic_adar(edges, max_center_degree=None, min_score=thresh))
     assert got.keys() == {p for p, (_, aa) in full.items() if aa >= thresh}
+
+
+# ---------------------------------------------------------------------------
+# directed wedges: co-citation / bibliographic coupling
+# ---------------------------------------------------------------------------
+
+def _python_wedges(pairs, center_idx, cap=None):
+    e = {(a, b) for a, b in pairs if a != b}
+    cen: dict[int, set[int]] = {}
+    for a, b in e:
+        c, n = (a, b) if center_idx == 0 else (b, a)
+        cen.setdefault(c, set()).add(n)
+    out: dict[tuple[int, int], int] = {}
+    for ns in cen.values():
+        if cap is not None and len(ns) > cap:
+            continue
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for w in ns_sorted[i + 1 :]:
+                out[(u, w)] = out.get((u, w), 0) + 1
+    return out
+
+
+DPAIRS = [
+    (1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12), (3, 10),
+    (4, 1), (5, 1), (4, 2), (5, 2), (1, 1),
+]
+
+
+def test_cocitation_matches_python(spark):
+    from signal_collect_spark.algorithms.linkpred import cocitation
+
+    edges = spark.createDataFrame(DPAIRS, "src long, dst long")
+    got = {(r["u"], r["w"]): r["strength"] for r in cocitation(edges).collect()}
+    assert got == _python_wedges(DPAIRS, 0)
+    # 10 and 11 are both cited by 1 and 2 -> strength 2
+    assert got[(10, 11)] == 2
+
+
+def test_bib_coupling_matches_python(spark):
+    from signal_collect_spark.algorithms.linkpred import bibliographic_coupling
+
+    edges = spark.createDataFrame(DPAIRS, "src long, dst long")
+    got = {
+        (r["u"], r["w"]): r["strength"]
+        for r in bibliographic_coupling(edges).collect()
+    }
+    assert got == _python_wedges(DPAIRS, 1)
+    # 1 and 2 both cite 10 and 11 -> coupled with strength 2
+    assert got[(1, 2)] == 2
+
+
+def test_wedge_center_cap(spark):
+    from signal_collect_spark.algorithms.linkpred import cocitation
+
+    edges = spark.createDataFrame(DPAIRS, "src long, dst long")
+    got = {
+        (r["u"], r["w"]): r["strength"]
+        for r in cocitation(edges, max_center_degree=2).collect()
+    }
+    assert got == _python_wedges(DPAIRS, 0, cap=2)

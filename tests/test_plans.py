@@ -170,3 +170,46 @@ def test_project_bipartite_single_exchange_for_guard_and_gather(spark):
     # window + aggregate, one for the final (src, dst) pair count
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan
+
+
+def test_contract_graph_has_partial_aggregation(spark):
+    """The group-pair rollup must map-side combine (the group-pair
+    domain is quadratically smaller than the edge domain) and stay
+    expression-only."""
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double")
+    mapping = spark.createDataFrame([(1, 10), (2, 20)], "id long, group long")
+    from signal_collect_spark.graph import contract_graph
+
+    plan = _plan(contract_graph(edges, mapping, weight_col="weight"))
+    assert "partial" in plan.lower(), plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_adamic_adar_wedge_join_is_hash_equi_join(spark):
+    """The wedge self-join keys on the CENTER id (equi) with n1<n2 as a
+    join filter — never a CartesianProduct/BroadcastNestedLoop."""
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    from signal_collect_spark.algorithms.linkpred import adamic_adar
+
+    plan = _plan(adamic_adar(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_hyperball_round_has_partial_max_aggregation(spark):
+    """One HyperBall superstep: the register-wise union must be a plain
+    hash aggregate with map-side partial combine (registers are m
+    TINYINT columns, not an array), no Python anywhere."""
+    from signal_collect_spark.algorithms.neighborhood import _init_registers
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    verts = edges.selectExpr("src as id").union(edges.selectExpr("dst as id")).distinct()
+    state = _init_registers(verts, 4)
+    rcols = [f"r{j}" for j in range(16)]
+    sig = edges.join(state, edges["src"] == state["id"], "inner").select(
+        F.col("dst").alias("id"), *rcols
+    )
+    plan = _plan(sig.groupBy("id").agg(*[F.max(c).alias(c) for c in rcols]))
+    assert "partial" in plan.lower(), plan
+    assert "EvalPython" not in plan, plan

@@ -135,3 +135,84 @@ def test_minhash_lsh_invariants_on_random_corpora(spark, texts, dup):
     assert all(a < b for a, b in by_pair)
     assert all(1 <= nb <= bands for nb in by_pair.values())
     assert by_pair.get((clone_of, 100)) == bands  # exact dup collides everywhere
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (data/web.py) — ground truth from the GENERATION
+# side: parts are drawn first, the raw URL is decorated (case noise,
+# default ports, trailing slash, fragment), and the expected canonical
+# form is assembled directly from the parts — independent of the regex.
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=6
+)
+_url_parts = st.tuples(
+    st.sampled_from(["http", "https", "ftp"]),          # scheme
+    st.lists(_label, min_size=1, max_size=3),            # host labels
+    st.sampled_from([None, "default", 8080, 21, 65535]), # port
+    st.lists(
+        st.text(
+            alphabet="abcdefgABCDEFG0123456789.-_", min_size=1, max_size=6
+        ),
+        min_size=0,
+        max_size=3,
+    ),                                                    # path segments
+    st.booleans(),                                        # trailing slash
+    st.one_of(st.none(), st.text(alphabet="aBcD01=&", min_size=1, max_size=8)),
+    st.one_of(st.none(), st.text(alphabet="xYz-2", min_size=0, max_size=5)),
+    st.integers(0, 2**31),                                # casing seed
+)
+
+_DEFAULT_PORT = {"http": 80, "https": 443}
+
+
+def _build_url(parts):
+    scheme, labels, port, segs, trailing, query, fragment, seed = parts
+    rng = _random.Random(seed)
+    host = ".".join(labels)
+    portnum = _DEFAULT_PORT.get(scheme) if port == "default" else port
+    if port == "default" and portnum is None:
+        portnum = None  # ftp has no default-port strip rule
+    raw_hostport = "".join(
+        c.upper() if rng.random() < 0.5 else c for c in host
+    ) + (f":{portnum}" if portnum is not None else "")
+    raw_scheme = "".join(c.upper() if rng.random() < 0.5 else c for c in scheme)
+    path = "".join("/" + s for s in segs)
+    raw_path = path + ("/" if trailing and segs else "")
+    if not segs and trailing:
+        raw_path = "/"
+    raw = raw_scheme + "://" + raw_hostport + raw_path
+    if query is not None:
+        raw += "?" + query
+    if fragment is not None:
+        raw += "#" + fragment
+
+    # expected canonical, assembled from parts (module docstring rules)
+    keep_port = portnum is not None and portnum != _DEFAULT_PORT.get(scheme)
+    canon_hostport = host + (f":{portnum}" if keep_port else "")
+    canon_path = path if segs else "/"
+    canon = scheme + "://" + canon_hostport + canon_path
+    if query is not None:
+        canon += "?" + query
+    return raw, canon
+
+
+@given(examples=st.lists(_url_parts, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_url_normalization_matches_parts_on_random_urls(spark, examples):
+    from signal_collect_spark.data.web import normalize_url, url_host
+
+    built = [_build_url(p) for p in examples]
+    df = spark.createDataFrame([(raw,) for raw, _ in built], "url string")
+    rows = df.select(
+        "url",
+        normalize_url("url").alias("norm"),
+        url_host("url").alias("host"),
+    ).collect()
+    got = {r["url"]: (r["norm"], r["host"]) for r in rows}
+    for (raw, canon), parts in zip(built, examples):
+        assert got[raw][0] == canon, (raw, canon, got[raw][0])
+        assert got[raw][1] == ".".join(parts[1]), raw
