@@ -1988,6 +1988,41 @@ SELECT u, w, cn, aa FROM unlinked
 ORDER BY aa DESC, u, w LIMIT {LINKPRED_TOPK}"""
 
 
+DUPSPAN_K = 10
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-span profile (ExactSubstr-style char
+    k-grams, dedup.duplicate_spans) with hash_keys=False so the oracle
+    compares identical gram strings; the prod path keys on xxhash64."""
+    from signal_collect_spark.data.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=DUPSPAN_K, hash_keys=False)
+
+
+def _duplicate_spans_sql() -> str:
+    K = DUPSPAN_K
+    return f"""WITH base AS (
+  SELECT doc_id, text, GREATEST(length(text) - {K} + 1, 0) AS n FROM documents),
+pos AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), {K}) AS gram
+  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i
+        FROM base WHERE n > 0)),
+dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+fl AS (SELECT p.doc_id, p.i FROM pos p JOIN dup d USING (gram)),
+runs AS (SELECT doc_id, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         FROM fl),
+rl AS (SELECT doc_id, COUNT(*) AS r FROM runs GROUP BY doc_id, isl),
+agg AS (SELECT doc_id, SUM(r)::BIGINT AS n_dup, (MAX(r) + {K} - 1)::BIGINT AS longest
+        FROM rl GROUP BY doc_id)
+SELECT b.doc_id AS id, b.n::BIGINT AS n_grams,
+       COALESCE(a.n_dup, 0)::BIGINT AS n_dup,
+       CASE WHEN b.n > 0 THEN ROUND(COALESCE(a.n_dup, 0)::DOUBLE / b.n, 6)
+            ELSE 0.0 END AS dup_fraction,
+       COALESCE(a.longest, 0)::BIGINT AS longest_dup_span
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
 COCITE_TOPK = 1000
 
 
@@ -2359,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": _q_bowtie,
         "cocitation": _q_cocitation,
         "bib_coupling": _q_bib_coupling,
+        "duplicate_spans": _q_duplicate_spans,
     }
 
 
@@ -2576,4 +2612,5 @@ FROM sverts""",
         "bowtie": _bowtie_sql(),
         "cocitation": _directed_wedge_sql("src", "dst"),
         "bib_coupling": _directed_wedge_sql("dst", "src"),
+        "duplicate_spans": _duplicate_spans_sql(),
     }

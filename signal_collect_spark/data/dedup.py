@@ -530,3 +530,97 @@ def paragraph_dedup(
             "n_removed"
         ),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Cross-corpus duplicated-span profile per document — the
+    character-k-gram approximation of ExactSubstr dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22 — public paper): a position i is DUPLICATED when the k-char
+    gram text[i:i+k] occurs at least ``min_count`` times corpus-wide;
+    maximal runs of duplicated positions bound the longest substring
+    this document shares with the rest of the corpus.
+
+    Returns DataFrame[id, n_grams, n_dup, dup_fraction,
+    longest_dup_span]: gram positions per doc, duplicated positions,
+    their ratio, and the length (in characters, = max run + k - 1; 0 if
+    none) of the longest duplicated span. Complements
+    :func:`repetition_stats` (textstats.py), which is WITHIN-doc.
+
+    Scale shape: one posexplode to (doc, pos, gram) — linear in corpus
+    characters — then ONE count aggregation on the gram key with
+    map-side combine, a left_semi-style join back restricted to keys
+    that passed ``min_count`` (the duplicated-gram dictionary is the
+    small side after the HAVING filter), one per-doc window for the
+    gaps-and-islands run length, one per-doc aggregate. With
+    ``hash_keys`` (default, the 100 TB path) the count/join key is
+    ``xxhash64(gram)`` — 8-byte shuffle keys instead of k-char strings
+    (~3-10× less shuffle volume; collisions can only OVER-mark a
+    position as duplicated, at ~n²/2⁶⁴ probability). The driver's
+    oracle query runs ``hash_keys=False`` so DuckDB compares the
+    identical gram strings.
+    """
+    from pyspark.sql import Window as W
+
+    text = F.col(text_col)
+    npos = F.greatest(F.length(text) - F.lit(k) + 1, F.lit(0))
+    base = docs.select(
+        F.col(id_col).alias("id"), text.alias("__t"), npos.alias("__n")
+    )
+    pos = base.filter(F.col("__n") > 0).select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("i"),
+        F.col("__t"),
+    ).select("id", "i", F.substr("__t", F.col("i"), F.lit(k)).alias("gram"))
+    key = F.xxhash64("gram") if hash_keys else F.col("gram")
+    pos = pos.select("id", "i", key.alias("__k"))
+
+    dup_keys = (
+        pos.groupBy("__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+        .select("__k")
+    )
+    flagged = pos.join(dup_keys, "__k", "left_semi").select("id", "i")
+
+    w = W.partitionBy("id").orderBy("i")
+    runs = flagged.withColumn(
+        "__isl", F.col("i") - F.row_number().over(w)
+    )
+    runlen = (
+        runs.groupBy("id", "__isl")
+        .agg(F.count("*").alias("__rl"))
+        .groupBy("id")
+        .agg(
+            F.sum("__rl").alias("n_dup"),
+            (F.max("__rl") + F.lit(k) - 1).alias("longest_dup_span"),
+        )
+    )
+    return (
+        base.select("id", F.col("__n").cast("long").alias("n_grams"))
+        .join(runlen, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_dup", F.lit(0)) / F.col("n_grams"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+            F.coalesce("longest_dup_span", F.lit(0))
+            .cast("long")
+            .alias("longest_dup_span"),
+        )
+    )

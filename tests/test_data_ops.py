@@ -175,3 +175,64 @@ def test_frame_sampling_plan(spark):
     assert vids == {2, 5, 8}
     f2 = sorted(r["frame_idx"] for r in frames if r["media_id"] == 2)
     assert f2 == [0, 4, 8]  # n_frames=12 → 0,4,8
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (cross-corpus ExactSubstr-style k-gram profile)
+# ---------------------------------------------------------------------------
+
+def _python_dup_spans(texts, k, min_count=2):
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(max(len(t) - k + 1, 0)):
+            grams[t[i : i + k]] += 1
+    out = {}
+    for did, t in texts.items():
+        n = max(len(t) - k + 1, 0)
+        dup = [i for i in range(n) if grams[t[i : i + k]] >= min_count]
+        runs, best, cur, prev = 0, 0, 0, None
+        longest = 0
+        cur = 0
+        for i in dup:
+            cur = cur + 1 if prev is not None and i == prev + 1 else 1
+            longest = max(longest, cur)
+            prev = i
+        out[did] = (
+            n,
+            len(dup),
+            round(len(dup) / n, 6) if n else 0.0,
+            longest + k - 1 if dup else 0,
+        )
+    return out
+
+
+def test_duplicate_spans_matches_python(spark):
+    from signal_collect_spark.data.dedup import duplicate_spans
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a quick brown fox leaps over a sleepy dog",
+        3: "completely unrelated content here with no overlap",
+        4: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        5: "tiny",                                          # shorter than k
+        6: "",                                              # empty
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    k = 10
+    for hash_keys in (False, True):
+        got = {
+            r["id"]: (
+                r["n_grams"], r["n_dup"], r["dup_fraction"], r["longest_dup_span"]
+            )
+            for r in duplicate_spans(docs, k=k, hash_keys=hash_keys).collect()
+        }
+        want = _python_dup_spans(texts, k)
+        assert got == want, (hash_keys, got, want)
+    # the exact-dup pair is fully duplicated end to end
+    n1 = max(len(texts[1]) - k + 1, 0)
+    assert got[1] == (n1, n1, 1.0, len(texts[1]))
+    assert got[5][0] == 0 and got[6][0] == 0
