@@ -2311,6 +2311,176 @@ SELECT l.id,
 FROM lbl l"""
 
 
+TRUST_SEED_MOD = 13  # trusted seed set: dense-graph ids divisible by 13
+PREFIX_JACCARD_T = 0.9
+INVIDX_MIN_DF = 5
+INVIDX_TOP = 10
+KTRUSS_K = 3
+KTRUSS_ORACLE_ROUNDS = 4  # peel converges in 2 rounds at sf0.001/0.01
+
+
+def _q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (trustrank.py): seed-personalized
+    vs uniform PageRank, both on the engine's exact reference
+    trajectory; oracle = two unrolled Jacobi chains composed the same
+    way."""
+    from signal_collect_spark.algorithms.trustrank import trustrank
+
+    edges = dense_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % TRUST_SEED_MOD == 0)
+    )
+    out, _tri, _pri = trustrank(
+        spark, edges, seeds, max_steps=PR_STEPS, converge_tol=0.0,
+        num_partitions=8, check_every=5,
+    )
+    return out.select(
+        "id",
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def _trustrank_sql() -> str:
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        f"tp AS (SELECT id, CASE WHEN id % {TRUST_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END AS p FROM dverts),",
+        "tr0 AS (SELECT id, 0.15 * p AS rank FROM tp),",
+        "upr0 AS (SELECT id, 0.15 AS rank FROM dverts)",
+    ]
+    for k in range(1, PR_STEPS + 1):
+        for name in ("tr", "upr"):
+            base = "0.15 * v.p" if name == "tr" else "0.15"
+            src = "tp v" if name == "tr" else "dverts v"
+            ctes.append(
+                f""",{name}{k} AS MATERIALIZED (
+  SELECT v.id AS id, {base} + 0.85 * COALESCE(s.acc, 0.0) AS rank
+  FROM {src} LEFT JOIN (
+    SELECT e.dst AS id, SUM(q.rank / d.outdeg) AS acc
+    FROM dedges e JOIN {name}{k - 1} q ON q.id = e.src JOIN ddeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = v.id)"""
+            )
+    return "\n".join(ctes) + f"""
+SELECT t.id AS id, ROUND(t.rank, 6) AS trust,
+       ROUND(1.0 - ((SELECT count(*) FROM dverts)::DOUBLE
+                    / (SELECT count(*) FROM dverts WHERE id % {TRUST_SEED_MOD} = 0))
+                   * t.rank / u.rank, 6) AS spam_mass
+FROM tr{PR_STEPS} t JOIN upr{PR_STEPS} u ON u.id = t.id"""
+
+
+def _q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological longest-path levels on the acyclic (src < dst)
+    orientation of the sparse graph — the engine's max-plus kernel
+    (dag.py); oracle = recursive reachability with per-vertex max
+    level."""
+    from signal_collect_spark.algorithms.dag import dag_levels, orient_acyclic
+
+    dag = orient_acyclic(sparse_edges(spark, sf_dir))
+    out, _info = dag_levels(spark, dag, max_steps=60, num_partitions=8)
+    return out
+
+
+def _dag_levels_sql() -> str:
+    return f"""WITH RECURSIVE {_SPARSE_SQL.strip()},
+dag AS (SELECT DISTINCT src, dst FROM sedges WHERE src < dst),
+dagv AS (SELECT src AS id FROM dag UNION SELECT dst FROM dag),
+reach(id, level) AS (
+  SELECT id, 0 FROM dagv
+  UNION
+  SELECT d.dst, r.level + 1 FROM reach r JOIN dag d ON d.src = r.id)
+SELECT id, CAST(max(level) AS BIGINT) AS level FROM reach GROUP BY id"""
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the sparse undirected graph via distributed support
+    peeling (truss.py); oracle = the same peel unrolled round by
+    round with the triangle-join support recomputed per round."""
+    from signal_collect_spark.algorithms.truss import k_truss
+
+    out, _info = k_truss(spark, sparse_edges(spark, sf_dir), KTRUSS_K, num_partitions=8)
+    return out
+
+
+def _ktruss_sql() -> str:
+    kk = KTRUSS_K - 2
+    parts = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM sedges)",
+    ]
+    # every per-round CTE is MATERIALIZED: inlined, e{i+1} would expand
+    # e{i} ~5x and the final query would scan lineitem 5^R times
+    for i in range(KTRUSS_ORACLE_ROUNDS):
+        parts.append(
+            f""",t{i} AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{i} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+  SELECT a, b FROM t{i} UNION ALL SELECT a, c AS b FROM t{i} UNION ALL SELECT b AS a, c AS b FROM t{i}) GROUP BY a, b),
+e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e JOIN s{i} s ON s.a = e.a AND s.b = e.b WHERE s.sup >= {kk})"""
+        )
+    R = KTRUSS_ORACLE_ROUNDS
+    parts.append(
+        f""",tf AS MATERIALIZED (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e{R} e1 JOIN e{R} e2 ON e2.a = e1.b JOIN e{R} e3 ON e3.a = e1.a AND e3.b = e2.b),
+sf AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+  SELECT a, b FROM tf UNION ALL SELECT a, c AS b FROM tf UNION ALL SELECT b AS a, c AS b FROM tf) GROUP BY a, b)"""
+    )
+    return "\n".join(parts) + f"""
+SELECT e.a, e.b, COALESCE(s.sup, 0)::BIGINT AS support
+FROM e{R} e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b"""
+
+
+def _q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-set Jaccard >= 0.9 via prefix filtering
+    (setjoin.py); oracle = brute-force token co-occurrence join — the
+    prefix filter must lose nothing."""
+    from signal_collect_spark.data.setjoin import prefix_jaccard_pairs
+
+    out = prefix_jaccard_pairs(_docs(spark, sf_dir), PREFIX_JACCARD_T)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _prefix_jaccard_sql() -> str:
+    return f"""WITH tk AS (
+  SELECT DISTINCT doc_id AS id, t AS tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+sz AS (SELECT id, count(*) AS n FROM tk GROUP BY id),
+co AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+       FROM tk x JOIN tk y ON x.tok = y.tok AND x.id < y.id
+       GROUP BY x.id, y.id)
+SELECT id_a, id_b,
+       ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+FROM co JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {PREFIX_JACCARD_T}"""
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with bounded posting lists (index.py): term ->
+    (df, first {INVIDX_TOP} doc ids), df >= {INVIDX_MIN_DF}."""
+    from signal_collect_spark.data.index import inverted_index
+
+    return inverted_index(
+        _docs(spark, sf_dir), min_df=INVIDX_MIN_DF, top_postings=INVIDX_TOP
+    )
+
+
+def _inverted_index_sql() -> str:
+    return f"""WITH p AS (
+  SELECT DISTINCT doc_id AS id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+h AS (SELECT term, array_to_string(list_sort(list(id)), ',') AS postings FROM (
+        SELECT term, id, row_number() OVER (PARTITION BY term ORDER BY id) AS rn
+        FROM p)
+      WHERE rn <= {INVIDX_TOP} GROUP BY term)
+SELECT d.term AS term, d.df AS df, h.postings AS postings
+FROM d JOIN h ON h.term = d.term WHERE d.df >= {INVIDX_MIN_DF}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2395,6 +2565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": _q_cocitation,
         "bib_coupling": _q_bib_coupling,
         "duplicate_spans": _q_duplicate_spans,
+        "trustrank": _q_trustrank,
+        "dag_levels": _q_dag_levels,
+        "ktruss": _q_ktruss,
+        "prefix_jaccard": _q_prefix_jaccard,
+        "inverted_index": _q_inverted_index,
     }
 
 
@@ -2613,4 +2788,9 @@ FROM sverts""",
         "cocitation": _directed_wedge_sql("src", "dst"),
         "bib_coupling": _directed_wedge_sql("dst", "src"),
         "duplicate_spans": _duplicate_spans_sql(),
+        "trustrank": _trustrank_sql(),
+        "dag_levels": _dag_levels_sql(),
+        "ktruss": _ktruss_sql(),
+        "prefix_jaccard": _prefix_jaccard_sql(),
+        "inverted_index": _inverted_index_sql(),
     }

@@ -1,0 +1,68 @@
+"""Inverted index construction over the documents table.
+
+The foundational text-retrieval structure a training-data pipeline
+needs for decontamination lookups, targeted corpus slicing, and
+term-level auditing: term → (document frequency, sorted posting list).
+Beyond-reference data operator on the same tier as the TF-IDF and
+fingerprint queries (the reference's text surface is the search-API
+string aggregations, Graph.scala:66-90 / aggregates `BySubstring`).
+
+Scale shape: one explode + distinct (term-keyed shuffle), one count
+aggregate with map-side partial combine, and a rank-then-collect for
+the capped posting lists: the ``top_postings`` cap is applied BEFORE
+`collect_list` (row_number window, sort-based and spillable), so a
+stopword-grade term never materializes its full posting list in one
+aggregation buffer — an uncapped "the" at 10^10 docs would be a
+single-key array; here per-term state is O(top_postings), and full
+lists stay queryable from the per-(term, doc) :func:`postings` table.
+All JVM expressions, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DF[term, id] — distinct (term, document) occurrences."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    min_df: int = 1,
+    top_postings: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DF[term, df, postings] — document frequency and the first
+    ``top_postings`` doc ids (ascending) per term, comma-joined into a
+    string (deterministic, engine-portable).  Terms with df < ``min_df``
+    are dropped (df=1 terms are half a natural corpus's vocabulary and
+    index noise)."""
+    p = postings(docs, id_col=id_col, text_col=text_col)
+    df_tab = p.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("id")
+    head = (
+        p.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("postings")
+        )
+    )
+    return (
+        df_tab.filter(F.col("df") >= min_df).join(head, "term")
+        .select("term", "df", "postings")
+    )
