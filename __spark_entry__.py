@@ -2481,6 +2481,227 @@ SELECT d.term AS term, d.df AS df, h.postings AS postings
 FROM d JOIN h ON h.term = d.term WHERE d.df >= {INVIDX_MIN_DF}"""
 
 
+LS_STEPS = 5  # label-spreading rounds
+LS_SEED_MOD = 11
+BF_PART_MOD = 200  # butterfly item domain (same as cooccurrence_graph)
+BF_MAX_GROUP = 50
+CG_MOD = 500  # codegraph arithmetic target domain (docs = 500 at all SFs)
+
+
+def _q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-seed label spreading on the symmetrized sparse graph
+    (labelspread.py): seeds = ids % {LS_SEED_MOD} == 0 clamped to
+    id % 2; oracle = the weighted-mean iteration unrolled."""
+    from signal_collect_spark.algorithms.labelspread import label_spreading
+
+    edges = sparse_edges(spark, sf_dir)
+    und = edges.select("src", "dst", "weight").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    ).distinct()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    seeds = verts.filter(F.col("id") % LS_SEED_MOD == 0).select(
+        "id", (F.col("id") % 2).cast("double").alias("label")
+    )
+    out, _info = label_spreading(
+        spark, und, seeds, steps=LS_STEPS, num_partitions=8
+    )
+    return out.select("id", F.round("p", 6).alias("p"), "label")
+
+
+def _label_spreading_sql() -> str:
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        f"sd AS (SELECT id, CASE WHEN id % {LS_SEED_MOD} = 0 THEN (id % 2)::DOUBLE END AS lbl FROM sverts),",
+        "liw AS (SELECT dst AS id, SUM(weight) AS inw FROM suedges GROUP BY dst),",
+        "ls0 AS (SELECT id, COALESCE(lbl, 0.5) AS p FROM sd)",
+    ]
+    for k in range(1, LS_STEPS + 1):
+        ctes.append(
+            f""",ls{k} AS MATERIALIZED (
+  SELECT v.id AS id,
+         CASE WHEN v.lbl IS NOT NULL THEN q.p
+              WHEN s.acc IS NULL THEN q.p
+              ELSE s.acc / w.inw END AS p
+  FROM sd v JOIN ls{k - 1} q ON q.id = v.id
+  LEFT JOIN (SELECT e.dst AS id, SUM(p.p * e.weight) AS acc
+             FROM suedges e JOIN ls{k - 1} p ON p.id = e.src
+             GROUP BY e.dst) s ON s.id = v.id
+  LEFT JOIN liw w ON w.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"""
+SELECT id, ROUND(p, 6) AS p, (p > 0.5)::INT AS label FROM ls{LS_STEPS}"""
+
+
+def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2x2 biclique) census of the bipartite
+    (order, part % {BF_PART_MOD}) table (butterflies.py), hot groups
+    capped at {BF_MAX_GROUP} and reported."""
+    from signal_collect_spark.algorithms.butterflies import butterfly_count
+
+    li = _li(spark, sf_dir)
+    bip = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") % BF_PART_MOD).alias("dst"),
+    )
+    return butterfly_count(bip, max_group=BF_MAX_GROUP)
+
+
+def _butterflies_sql() -> str:
+    return f"""WITH e AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey % {BF_PART_MOD} AS i FROM lineitem),
+gs AS (SELECT g, count(*) AS sz FROM e GROUP BY g),
+ok AS (SELECT e.g, e.i FROM e JOIN gs ON gs.g = e.g
+       WHERE gs.sz BETWEEN 2 AND {BF_MAX_GROUP}),
+co AS (SELECT x.i AS a, y.i AS b, count(*) AS w
+       FROM ok x JOIN ok y ON x.g = y.g AND x.i < y.i GROUP BY x.i, y.i)
+SELECT (SELECT count(*) FROM co) AS n_pairs,
+       (SELECT COALESCE(SUM(w), 0) FROM co)::BIGINT AS n_wedges,
+       (SELECT COALESCE(SUM(w * (w - 1) // 2), 0) FROM co)::BIGINT AS n_butterflies,
+       (SELECT count(*) FROM gs WHERE sz > {BF_MAX_GROUP}) AS n_groups_skipped"""
+
+
+def _code_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-code table in the BASELINE input_hint shape
+    (repo, path, commit, lang, content), derived ARITHMETICALLY from
+    documents.doc_id so DuckDB can rebuild byte-identical rows without
+    sharing any parsing code: file i imports mods t1=(7i+3)%{CG_MOD}
+    and t2=(13i+5)%{CG_MOD}; ids divisible by 10 carry a second row at
+    a greater commit with one extra import t3=(31i+11)%{CG_MOD} —
+    exercising latest_files' max-commit dedup."""
+    i = F.col("i")
+
+    def s(col):
+        return col.cast("string")
+
+    def content(ts):
+        parts = [F.lit("# "), F.col("path"), F.lit("\n")]
+        for t in ts:
+            parts += [
+                F.lit("import pkg_"), s(t % 7), F.lit(".mod_"), s(t), F.lit("\n"),
+            ]
+        return F.concat(*parts)
+
+    base = _docs(spark, sf_dir).select(F.col("doc_id").alias("i")).distinct().select(
+        "i",
+        F.concat(F.lit("org/repo-"), s(i % 5)).alias("repo"),
+        F.concat(
+            F.lit("src/pkg_"), s(i % 7), F.lit("/mod_"), s(i), F.lit(".py")
+        ).alias("path"),
+        F.lit("python").alias("lang"),
+    )
+    t1, t2, t3 = (
+        (i * 7 + 3) % CG_MOD, (i * 13 + 5) % CG_MOD, (i * 31 + 11) % CG_MOD,
+    )
+    v1 = base.select(
+        "repo", "path", F.lit("c1").alias("commit"), "lang",
+        content([t1, t2]).alias("content"),
+    )
+    v2 = base.filter(i % 10 == 0).select(
+        "repo", "path", F.lit("c2").alias("commit"), "lang",
+        content([t1, t2, t3]).alias("content"),
+    )
+    return v1.unionAll(v2)
+
+
+# refs derived arithmetically (never by parsing) for the DuckDB side;
+# the "WHERE ... % 10 = 0" branch is the extra import of the kept c2 row
+_CG_SQL = f"""
+cgids AS (SELECT DISTINCT doc_id AS i FROM documents),
+cgfiles AS (
+  SELECT i, 'org/repo-' || (i % 5) AS repo,
+         'src/pkg_' || (i % 7) || '/mod_' || i || '.py' AS path
+  FROM cgids),
+cgrefs AS (
+  SELECT i, (i * 7 + 3) % {CG_MOD} AS t FROM cgids
+  UNION ALL SELECT i, (i * 13 + 5) % {CG_MOD} FROM cgids
+  UNION ALL SELECT i, (i * 31 + 11) % {CG_MOD} FROM cgids WHERE i % 10 = 0)
+"""
+
+
+def _q_codegraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end code ingest (codegraph.py): source table ->
+    latest-commit dedup -> regex reference extraction -> in-repo
+    resolution; oracle derives the same edges arithmetically, never
+    parsing the content — the regex path is independently checked."""
+    from signal_collect_spark.codegraph import code_link_graph
+
+    nodes, edges = code_link_graph(_code_source(spark, sf_dir))
+    n1 = nodes.select(
+        F.col("node_id").alias("src"), "repo", F.col("path").alias("src_path")
+    )
+    n2 = nodes.select(F.col("node_id").alias("dst"), F.col("path").alias("dst_path"))
+    return (
+        edges.join(n1, "src")
+        .join(n2, "dst")
+        .groupBy("repo", "src_path", "dst_path")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def _codegraph_edges_sql() -> str:
+    return f"""WITH {_CG_SQL.strip()}
+SELECT f.repo AS repo, f.path AS src_path, g.path AS dst_path,
+       count(*) AS n_refs
+FROM cgrefs r
+JOIN cgfiles f ON f.i = r.i
+JOIN cgfiles g ON g.i = r.t AND g.repo = f.repo
+GROUP BY f.repo, f.path, g.path"""
+
+
+def _q_codegraph_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row content-sha256 invariant (BASELINE input_hint): the
+    node table's content_sha256 must equal an INDEPENDENT hash of
+    independently reconstructed content (DuckDB sha256 over the same
+    arithmetic derivation) — checks latest_files kept the right row
+    and never transformed bytes."""
+    from signal_collect_spark.codegraph import build_nodes, latest_files
+
+    nodes = build_nodes(latest_files(_code_source(spark, sf_dir)))
+    return nodes.select("repo", "path", "commit", "content_sha256")
+
+
+def _codegraph_sha256_sql() -> str:
+    mk = (
+        "'# ' || path || chr(10) || "
+        f"'import pkg_' || ((i * 7 + 3) % {CG_MOD} % 7) || '.mod_' || ((i * 7 + 3) % {CG_MOD}) || chr(10) || "
+        f"'import pkg_' || ((i * 13 + 5) % {CG_MOD} % 7) || '.mod_' || ((i * 13 + 5) % {CG_MOD}) || chr(10)"
+    )
+    extra = (
+        f" || 'import pkg_' || ((i * 31 + 11) % {CG_MOD} % 7) || '.mod_' || ((i * 31 + 11) % {CG_MOD}) || chr(10)"
+    )
+    return f"""WITH {_CG_SQL.strip()}
+SELECT repo, path,
+       CASE WHEN i % 10 = 0 THEN 'c2' ELSE 'c1' END AS commit,
+       CASE WHEN i % 10 = 0 THEN sha256({mk}{extra}) ELSE sha256({mk}) END AS content_sha256
+FROM cgfiles"""
+
+
+def _q_codegraph_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Package-level rollup of the code link graph (contract_graph):
+    file edges contracted to repo-qualified package pairs."""
+    from signal_collect_spark.codegraph import code_link_graph, package_graph
+
+    nodes, edges = code_link_graph(_code_source(spark, sf_dir))
+    out = package_graph(nodes, edges)
+    return out.select(
+        "gsrc", "gdst", F.round("weight", 6).alias("weight"), "n_edges"
+    )
+
+
+def _codegraph_packages_sql() -> str:
+    return f"""WITH {_CG_SQL.strip()},
+pe AS (
+  SELECT f.repo || '::src/pkg_' || (f.i % 7) AS gsrc,
+         f.repo || '::src/pkg_' || (g.i % 7) AS gdst
+  FROM cgrefs r
+  JOIN cgfiles f ON f.i = r.i
+  JOIN cgfiles g ON g.i = r.t AND g.repo = f.repo)
+SELECT gsrc, gdst, ROUND(count(*)::DOUBLE, 6) AS weight, count(*) AS n_edges
+FROM pe WHERE gsrc <> gdst GROUP BY gsrc, gdst"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2570,6 +2791,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss": _q_ktruss,
         "prefix_jaccard": _q_prefix_jaccard,
         "inverted_index": _q_inverted_index,
+        "label_spreading": _q_label_spreading,
+        "butterflies": _q_butterflies,
+        "codegraph_edges": _q_codegraph_edges,
+        "codegraph_sha256": _q_codegraph_sha256,
+        "codegraph_packages": _q_codegraph_packages,
     }
 
 
@@ -2793,4 +3019,9 @@ FROM sverts""",
         "ktruss": _ktruss_sql(),
         "prefix_jaccard": _prefix_jaccard_sql(),
         "inverted_index": _inverted_index_sql(),
+        "label_spreading": _label_spreading_sql(),
+        "butterflies": _butterflies_sql(),
+        "codegraph_edges": _codegraph_edges_sql(),
+        "codegraph_sha256": _codegraph_sha256_sql(),
+        "codegraph_packages": _codegraph_packages_sql(),
     }
