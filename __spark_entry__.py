@@ -2702,6 +2702,77 @@ SELECT gsrc, gdst, ROUND(count(*)::DOUBLE, 6) AS weight, count(*) AS n_edges
 FROM pe WHERE gsrc <> gdst GROUP BY gsrc, gdst"""
 
 
+TEMPORAL_MOD = 50  # temporal contact-graph node domain
+WL_ROUNDS = 3
+
+
+def _q_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest arrival from node 0 on the contact
+    graph (user_id % {TEMPORAL_MOD}) -> ((user_id + event_id) %
+    {TEMPORAL_MOD}) at contact time = event ts (µs) — a USER-DEFINED
+    edge signal through the engine's callable edge_combine
+    (temporal.py); oracle = recursive time-respecting contact closure."""
+    from signal_collect_spark.algorithms.temporal import earliest_arrival
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tedges = ev.select(
+        (F.col("user_id") % TEMPORAL_MOD).alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % TEMPORAL_MOD).alias("dst"),
+        # ts is TIMESTAMP_NTZ; the session tz is pinned UTC so the cast
+        # reinterprets naive == UTC, matching DuckDB's epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    out, _info = earliest_arrival(spark, tedges, 0, t0=0.0, num_partitions=8)
+    return out.select("id", F.col("arrival").cast("long").alias("arrival_us"))
+
+
+def _temporal_sql() -> str:
+    return f"""WITH RECURSIVE te AS (
+  SELECT user_id % {TEMPORAL_MOD} AS src,
+         (user_id + event_id) % {TEMPORAL_MOD} AS dst,
+         epoch_us(ts) AS t
+  FROM events WHERE user_id % {TEMPORAL_MOD} <> (user_id + event_id) % {TEMPORAL_MOD}),
+tv AS (SELECT src AS id FROM te UNION SELECT dst FROM te),
+reach(id, t) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) WHERE 0 IN (SELECT id FROM tv)
+  UNION
+  SELECT e.dst, e.t FROM reach r JOIN te e ON e.src = r.id AND e.t >= r.t)
+SELECT v.id AS id, CAST(MIN(r.t) AS BIGINT) AS arrival_us
+FROM tv v LEFT JOIN reach r ON r.id = v.id
+GROUP BY v.id"""
+
+
+def _q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{WL_ROUNDS}-round Weisfeiler-Lehman refinement on the sparse
+    undirected graph (wl.py): structural vertex fingerprints; oracle
+    replays the hash-of-sorted-neighbour-colors rounds in SQL."""
+    from signal_collect_spark.algorithms.wl import wl_colors
+
+    out, _info = wl_colors(
+        spark, sparse_edges(spark, sf_dir), rounds=WL_ROUNDS, num_partitions=8
+    )
+    return out
+
+
+def _wl_colors_sql() -> str:
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "ue AS (SELECT DISTINCT src, dst FROM suedges WHERE src <> dst),",
+        "w0 AS (SELECT id, '0' AS color FROM sverts)",
+    ]
+    for k in range(1, WL_ROUNDS + 1):
+        ctes.append(
+            f""",w{k} AS MATERIALIZED (
+  SELECT v.id AS id, md5(w.color || '|' || COALESCE(s.sig, '')) AS color
+  FROM sverts v JOIN w{k - 1} w ON w.id = v.id
+  LEFT JOIN (SELECT e.src AS id,
+                    array_to_string(list_sort(list(c.color)), ',') AS sig
+             FROM ue e JOIN w{k - 1} c ON c.id = e.dst GROUP BY e.src) s
+    ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, color FROM w{WL_ROUNDS}"
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2796,6 +2867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_edges": _q_codegraph_edges,
         "codegraph_sha256": _q_codegraph_sha256,
         "codegraph_packages": _q_codegraph_packages,
+        "temporal_reachability": _q_temporal,
+        "wl_colors": _q_wl_colors,
     }
 
 
@@ -3024,4 +3097,6 @@ FROM sverts""",
         "codegraph_edges": _codegraph_edges_sql(),
         "codegraph_sha256": _codegraph_sha256_sql(),
         "codegraph_packages": _codegraph_packages_sql(),
+        "temporal_reachability": _temporal_sql(),
+        "wl_colors": _wl_colors_sql(),
     }

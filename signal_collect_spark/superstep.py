@@ -130,7 +130,14 @@ class ExecutionInfo:
         self.caches.clear()
 
 
-def _combine_expr(kind: str, value_col: str, weight_col: str) -> Column:
+def _combine_expr(kind, value_col: str, weight_col: str) -> Column:
+    # a callable is the general user-defined Edge.signal surface
+    # (DefaultEdge.scala:56 lets the edge compute ANY function of
+    # source state + edge payload): (value Column, weight Column) ->
+    # signal Column. SQL mode only — the CSR fast path dispatches on
+    # the named monoid kinds.
+    if callable(kind):
+        return kind(F.col(value_col), F.col(weight_col))
     if kind == "mul":
         return F.col(value_col) * F.col(weight_col)
     if kind == "add":
@@ -290,6 +297,11 @@ def run_supersteps(
     if mode == "csr":
         if len(spec) != 1 or spec[0][1] not in ("sum", "min", "max"):
             raise ValueError("mode='csr' supports a single sum/min/max aggregate")
+        if callable(kernel.edge_combine):
+            raise ValueError(
+                "mode='csr' supports only the named combine kinds "
+                "(mul/add/value); a callable edge_combine is SQL-mode only"
+            )
         if csr_salts > P:
             # salts congruent mod P would duplicate frontier replicas in
             # one pid and double-count edge contributions (ADVICE r1)
