@@ -2773,6 +2773,39 @@ def _wl_colors_sql() -> str:
     return "\n".join(ctes) + f"\nSELECT id, color FROM w{WL_ROUNDS}"
 
 
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve on the sparse undirected graph
+    (richclub.py): the whole φ(k) curve from suffix sums of two
+    histograms; oracle replays the same suffix-sum identity."""
+    from signal_collect_spark.algorithms.richclub import rich_club
+
+    return rich_club(sparse_edges(spark, sf_dir))
+
+
+def _rich_club_sql() -> str:
+    return f"""WITH {_SPARSE_SQL.strip()},
+rund AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sedges),
+rdeg AS (SELECT id, count(*) AS deg FROM (
+           SELECT a AS id FROM rund UNION ALL SELECT b FROM rund) GROUP BY id),
+rhd AS (SELECT deg, count(*) AS nd FROM rdeg GROUP BY deg),
+rme AS (SELECT LEAST(da.deg, db.deg) AS deg, count(*) AS ne
+        FROM rund e JOIN rdeg da ON da.id = e.a JOIN rdeg db ON db.id = e.b
+        GROUP BY LEAST(da.deg, db.deg)),
+rhist AS (SELECT COALESCE(rhd.deg, rme.deg) AS deg,
+                 COALESCE(nd, 0) AS nd, COALESCE(ne, 0) AS ne
+          FROM rhd FULL JOIN rme ON rme.deg = rhd.deg),
+rcurve AS (
+  SELECT deg AS k,
+         COALESCE(SUM(nd) OVER (ORDER BY deg ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_nodes,
+         COALESCE(SUM(ne) OVER (ORDER BY deg ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS n_edges
+  FROM rhist
+  UNION ALL
+  SELECT 0, SUM(nd), SUM(ne) FROM rhist)
+SELECT k, n_nodes, n_edges,
+       ROUND(2.0 * n_edges / (n_nodes * (n_nodes - 1)), 6) AS phi
+FROM rcurve WHERE n_nodes >= 2"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -2869,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_packages": _q_codegraph_packages,
         "temporal_reachability": _q_temporal,
         "wl_colors": _q_wl_colors,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -3099,4 +3133,5 @@ FROM sverts""",
         "codegraph_packages": _codegraph_packages_sql(),
         "temporal_reachability": _temporal_sql(),
         "wl_colors": _wl_colors_sql(),
+        "rich_club": _rich_club_sql(),
     }

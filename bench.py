@@ -191,6 +191,38 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     ).count()
     queries["tfidf_mix"] = time.monotonic() - t0
 
+    # --- structural mining: WL fingerprints + rich-club curve ---------------
+    from signal_collect_spark.algorithms.richclub import rich_club
+    from signal_collect_spark.algorithms.wl import wl_colors, wl_histogram
+
+    t0 = time.monotonic()
+    wl_out, _wlinfo = wl_colors(spark, edges, rounds=3)
+    extra["wl_colors_distinct"] = wl_histogram(wl_out).count()
+    rich_club(edges).count()
+    queries["wl_richclub"] = time.monotonic() - t0
+
+    # --- exact set-similarity join via prefix filtering ---------------------
+    from signal_collect_spark.data.setjoin import prefix_jaccard_pairs
+
+    t0 = time.monotonic()
+    extra["prefix_jaccard_pairs"] = prefix_jaccard_pairs(docs, 0.9).count()
+    queries["prefix_jaccard"] = time.monotonic() - t0
+
+    # --- temporal earliest-arrival on the event contact graph ---------------
+    from signal_collect_spark.algorithms.temporal import earliest_arrival
+
+    t0 = time.monotonic()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tedges = ev.select(
+        (F.col("user_id") % 5000).alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % 5000).alias("dst"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double").alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    tout, tinfo = earliest_arrival(spark, tedges, 0)
+    extra["temporal_reached"] = tout.filter(F.col("arrival").isNotNull()).count()
+    queries["temporal_bfs"] = time.monotonic() - t0
+    tinfo.release()
+
     # --- multimodal: encode+decode round trip (built-in BMP/Y4M codecs) ------
     from signal_collect_spark.data import multimodal as M
     from signal_collect_spark.data.codecs import encode_bmp_gray, encode_y4m_mono

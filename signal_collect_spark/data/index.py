@@ -15,7 +15,10 @@ stopword-grade term never materializes its full posting list in one
 aggregation buffer — an uncapped "the" at 10^10 docs would be a
 single-key array; here per-term state is O(top_postings), and full
 lists stay queryable from the per-(term, doc) :func:`postings` table.
-All JVM expressions, no Python.
+All JVM expressions, no Python.  The df count and the capped head make
+two passes over the (term, doc) relation; callers for whom the explode
+dominates the scan can persist :func:`postings` themselves and pass it
+through — both aggregates read whatever plan backs it.
 """
 
 from __future__ import annotations
@@ -45,13 +48,19 @@ def inverted_index(
     top_postings: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings_df: DataFrame | None = None,
 ) -> DataFrame:
     """DF[term, df, postings] — document frequency and the first
     ``top_postings`` doc ids (ascending) per term, comma-joined into a
     string (deterministic, engine-portable).  Terms with df < ``min_df``
     are dropped (df=1 terms are half a natural corpus's vocabulary and
-    index noise)."""
-    p = postings(docs, id_col=id_col, text_col=text_col)
+    index noise).  Pass a persisted :func:`postings` as ``postings_df``
+    to share one explode across both aggregates."""
+    p = (
+        postings_df
+        if postings_df is not None
+        else postings(docs, id_col=id_col, text_col=text_col)
+    )
     df_tab = p.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("term").orderBy("id")
     head = (

@@ -98,3 +98,48 @@ def test_butterfly_max_group_skips_and_reports(spark):
         row["n_pairs"], row["n_wedges"], row["n_butterflies"], row["n_groups_skipped"]
     ) == want
     assert row["n_groups_skipped"] == 2  # groups 10 and 30 (3 items each)
+
+
+def _py_rich_club(pairs, max_k=None):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ks = sorted({0} | set(deg.values()))
+    out = {}
+    for k in ks:
+        nodes = [v for v, d in deg.items() if d > k]
+        if len(nodes) < 2 or (max_k is not None and k > max_k):
+            continue
+        ns = set(nodes)
+        ek = sum(1 for a, b in und if a in ns and b in ns)
+        out[k] = (len(nodes), ek, round(2.0 * ek / (len(nodes) * (len(nodes) - 1)), 6))
+    return out
+
+
+def test_rich_club_matches_python(spark):
+    from signal_collect_spark.algorithms.richclub import rich_club
+
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4 elite
+        (4, 5), (5, 6), (6, 7), (7, 8), (1, 9), (9, 10), (2, 1),
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in rich_club(edges).collect()
+    }
+    assert got == _py_rich_club(pairs)
+    # the K4 core must show a denser club at high k than the whole graph
+    ks = sorted(got)
+    assert got[ks[-1]][2] > got[0][2]
+
+
+def test_rich_club_max_k_truncates(spark):
+    from signal_collect_spark.algorithms.richclub import rich_club
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["k"] for r in rich_club(edges, max_k=1).collect()}
+    assert got == {k for k in _py_rich_club(pairs, max_k=1)}
