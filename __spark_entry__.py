@@ -577,6 +577,34 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT length-quantile profile (textstats.py
+    corpus_profile) — Spark's sort-based ``percentile`` vs DuckDB
+    ``quantile_cont`` (both linear interpolation at rank p*(n-1))."""
+    p = TS.corpus_profile(_docs(spark, sf_dir))
+    return p.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("p", 2).alias("p"),
+        "chars_q",
+        "tokens_q",
+    )
+
+
+_CORPUS_PROFILE_SQL = """
+WITH m AS (SELECT source, CAST(length(text) AS DOUBLE) AS chars,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS tokens
+           FROM documents),
+a AS (SELECT source, count(*) AS n_docs,
+             quantile_cont(chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qc,
+             quantile_cont(tokens, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qt
+      FROM m GROUP BY source)
+SELECT source, n_docs, CAST([0.25, 0.5, 0.75, 0.9, 0.99][i] AS DOUBLE) AS p,
+       ROUND(qc[i], 6) AS chars_q, ROUND(qt[i], 6) AS tokens_q
+FROM a CROSS JOIN (SELECT unnest(range(1, 6)) AS i) s
+"""
+
+
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (the unit LLM data budgets are priced
     in); the oracle runs the SAME pattern through DuckDB's RE2 — the
@@ -1439,6 +1467,55 @@ h{s} AS MATERIALIZED (
         f"""
 SELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS authority
 FROM h{S} h JOIN a{S} a ON a.id = h.id"""
+    )
+    return "\n".join(ctes)
+
+
+SALSA_STEPS = 6
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority walk over the dense directed graph
+    (salsa.py); oracle = the unrolled stochastic two-half-step
+    iteration with explicit degree normalization."""
+    from signal_collect_spark.algorithms.salsa import salsa
+
+    out, _info = salsa(
+        spark, dense_edges(spark, sf_dir), steps=SALSA_STEPS, num_partitions=8
+    )
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _salsa_sql() -> str:
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        """dind AS (SELECT dst, count(*) AS indeg FROM dedges GROUP BY dst),
+dse AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS inv_out, 1.0 / i.indeg AS inv_in
+        FROM dedges e JOIN ddeg d ON d.src = e.src JOIN dind i ON i.dst = e.dst),
+sa0 AS (SELECT dst AS id,
+               1.0 / (SELECT count(DISTINCT dst) FROM dedges) AS authority
+        FROM dedges GROUP BY dst)""",
+    ]
+    for s in range(1, SALSA_STEPS + 1):
+        ctes.append(
+            f""",sh{s} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.authority * e.inv_in) AS hub
+  FROM dse e JOIN sa{s - 1} a ON a.id = e.dst GROUP BY e.src),
+sa{s} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.hub * e.inv_out) AS authority
+  FROM dse e JOIN sh{s} h ON h.id = e.src GROUP BY e.dst)"""
+        )
+    S = SALSA_STEPS
+    ctes.append(
+        f"""
+SELECT v.id, ROUND(COALESCE(h.hub, 0.0), 6) AS hub,
+       ROUND(COALESCE(a.authority, 0.0), 6) AS authority
+FROM dverts v LEFT JOIN sh{S} h ON h.id = v.id
+LEFT JOIN sa{S} a ON a.id = v.id"""
     )
     return "\n".join(ctes)
 
@@ -2833,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "neardup_jaccard": _q_neardup_jaccard,
         "token_stats": _q_token_stats,
+        "corpus_profile": _q_corpus_profile,
         "bpe_tokens": _q_bpe_tokens,
         "repetition_stats": _q_repetition,
         "quality_score": _q_quality,
@@ -2865,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "k_core": _q_k_core,
         "hits": _q_hits,
+        "salsa": _q_salsa,
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
@@ -3008,6 +3087,7 @@ FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id""",
       p -> trim(p) <> ''))::BIGINT AS n_bpe_tokens,
   len(string_split(text, ' '))::BIGINT AS n_ws_tokens
 FROM documents""",
+        "corpus_profile": _CORPUS_PROFILE_SQL,
         "token_stats": """SELECT doc_id AS id,
   len(string_split(text, ' '))::BIGINT AS n_tokens,
   length(text)::BIGINT AS n_chars,
@@ -3096,6 +3176,7 @@ FROM sverts""",
         "embedding_neardup": _embedding_neardup_sql(),
         "k_core": _k_core_sql(),
         "hits": _hits_sql(),
+        "salsa": _salsa_sql(),
         "paragraph_dedup": _paragraph_dedup_sql(),
         "pii_redact": _pii_redact_sql(),
         "stratified_sample": _stratified_sample_sql(),

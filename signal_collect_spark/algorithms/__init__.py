@@ -14,6 +14,7 @@ from signal_collect_spark.algorithms.examples import (
 )
 from signal_collect_spark.algorithms.hamiltonian import hamiltonian_paths
 from signal_collect_spark.algorithms.hits import hits
+from signal_collect_spark.algorithms.salsa import salsa
 from signal_collect_spark.algorithms.kcore import core_number, k_core
 from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
 from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
@@ -47,6 +48,7 @@ __all__ = [
     "vertex_coloring",
     "hamiltonian_paths",
     "hits",
+    "salsa",
     "k_core",
     "core_number",
     "sudoku",
