@@ -140,7 +140,10 @@ reach(id, r) AS (
 SELECT id, MIN(r) AS component FROM reach GROUP BY id"""
 
 
-def _lp_sql() -> str:
+def _lp_ctes() -> str:
+    """The unrolled label-propagation rounds as a CTE chain ending at
+    ``lp{LP_ROUNDS}`` — shared by the `label_propagation` oracle and
+    the `modularity` oracle (which scores the identical labeling)."""
     ctes = [f"WITH {_SPARSE_SQL.strip()},", "lp0 AS (SELECT id, id AS label FROM sverts)"]
     for k in range(1, LP_ROUNDS + 1):
         ctes.append(
@@ -158,7 +161,11 @@ def _lp_sql() -> str:
     )
   ) WHERE rn = 1)"""
         )
-    return "\n".join(ctes) + f"\nSELECT id, label FROM lp{LP_ROUNDS}"
+    return "\n".join(ctes)
+
+
+def _lp_sql() -> str:
+    return _lp_ctes() + f"\nSELECT id, label FROM lp{LP_ROUNDS}"
 
 
 def _bfs_sql() -> str:
@@ -474,6 +481,61 @@ def _q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, edges, max_steps=LP_ROUNDS, run_to_convergence=False, num_partitions=8
     )
     return state.select("id", "label")
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LP labeling on the sparse undirected
+    graph (algorithms/modularity.py); the oracle replays the identical
+    LP rounds then scores Q = in_w/W - SUM_c (K_c/W)^2 in SQL."""
+    from signal_collect_spark.algorithms.modularity import modularity
+
+    edges = sparse_edges(spark, sf_dir)
+    state, _ = label_propagation(
+        spark, edges, max_steps=LP_ROUNDS, run_to_convergence=False, num_partitions=8
+    )
+    return modularity(edges, state.select("id", "label"))
+
+
+def _modularity_sql() -> str:
+    return (
+        _lp_ctes()
+        + f""",
+lpf AS (SELECT id, label FROM lp{LP_ROUNDS}),
+wsum AS (SELECT SUM(weight) AS W FROM suedges),
+degs AS (SELECT src AS id, SUM(weight) AS k FROM suedges GROUP BY src),
+inw AS (SELECT COALESCE(SUM(u.weight), 0.0) AS in_w FROM suedges u
+        JOIN lpf a ON a.id = u.src JOIN lpf b ON b.id = u.dst
+        WHERE a.label = b.label),
+kc AS (SELECT l.label, SUM(d.k) AS K FROM degs d JOIN lpf l ON l.id = d.id
+       GROUP BY l.label),
+expq AS (SELECT SUM((K / W) * (K / W)) AS exp_q FROM kc, wsum),
+nc AS (SELECT COUNT(DISTINCT label) AS n_communities FROM lpf)
+SELECT ROUND(in_w / W - exp_q, 6) AS modularity,
+       n_communities::BIGINT AS n_communities,
+       ROUND(W, 6) AS total_weight
+FROM inw, wsum, expq, nc"""
+    )
+
+
+def _q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram cross-entropy quality proxy
+    (textstats.py unigram_xent)."""
+    x = TS.unigram_xent(_docs(spark, sf_dir))
+    return x.select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens"), "xent_bits"
+    )
+
+
+_UNIGRAM_XENT_SQL = """
+WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS T FROM tf)
+SELECT t.id, COUNT(*)::BIGINT AS n_tokens,
+       ROUND(-AVG(log2(f.c::DOUBLE / tot.T::DOUBLE)), 6) AS xent_bits
+FROM toks t JOIN tf f ON f.tok = t.tok, tot
+GROUP BY t.id
+"""
 
 
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1797,16 +1859,22 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans(emb, k=KM_K, iters=KM_ITERS)
 
 
-def _kmeans_sql() -> str:
+def _km_dist(vtab: str, ctab: str) -> str:
+    dim1 = KM_DIM + 1
+    return (
+        f"list_reduce(list_transform(range(1, {dim1}), i -> "
+        f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i]) * "
+        f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i])), (a, b) -> a + b)"
+    )
+
+
+def _kmeans_ctes() -> list[str]:
+    """The unrolled Lloyd iterations as a CTE list ending at
+    ``af(id, cl)`` — shared by the `kmeans` oracle and the `semdedup`
+    oracle (which scores the identical assignment)."""
     h = HS.sql_hash60("'km|' || CAST(vec_id AS VARCHAR)")
     dim1 = KM_DIM + 1
-
-    def dist(vtab: str, ctab: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim1}), i -> "
-            f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i]) * "
-            f"(CAST({vtab}.v[i] AS DOUBLE) - {ctab}.c[i])), (a, b) -> a + b)"
-        )
+    dist = _km_dist
 
     ctes = [
         f"""e AS (SELECT vec_id AS id, embedding AS v, {h} AS hk FROM embeddings)""",
@@ -1837,12 +1905,188 @@ def _kmeans_sql() -> str:
        FROM {prev} p LEFT JOIN c{it} n ON n.cl = p.cl)"""
         )
     last = f"c{KM_ITERS}f"
-    return f"""WITH {','.join(ctes)},
-df AS (SELECT e.id, {last}.cl, {dist('e', last)} AS d FROM e CROSS JOIN {last}),
-af AS (SELECT id, cl FROM
+    ctes.append(
+        f"""df AS (SELECT e.id, {last}.cl, {dist('e', last)} AS d FROM e CROSS JOIN {last})"""
+    )
+    ctes.append(
+        """af AS (SELECT id, cl FROM
         (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn FROM df)
-       WHERE rn = 1)
-SELECT id, CAST(cl AS INT) AS cluster FROM af"""
+       WHERE rn = 1)"""
+    )
+    return ctes
+
+
+def _kmeans_sql() -> str:
+    return (
+        f"WITH {','.join(_kmeans_ctes())}\n"
+        "SELECT id, CAST(cl AS INT) AS cluster FROM af"
+    )
+
+
+SD_THRESHOLD = 0.3  # tail of the synthetic corpus's cosine distribution
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (clustering.py semantic_dedup): k-means the embedding
+    space, then drop every vector with an earlier same-cluster vector
+    within cosine SD_THRESHOLD (set at the synthetic corpus's
+    similarity tail so the drop branch is actually exercised)."""
+    from signal_collect_spark.data.clustering import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, k=KM_K, iters=KM_ITERS, threshold=SD_THRESHOLD)
+
+
+def _semdedup_sql() -> str:
+    hs = HS.sql_hash60("'sd|' || CAST(vec_id AS VARCHAR)")
+    dim1 = KM_DIM + 1
+
+    def fold(expr: str) -> str:
+        return f"list_reduce(list_transform(range(1, {dim1}), i -> {expr}), (a, b) -> a + b)"
+
+    cos = (
+        f"{fold('CAST(x.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE)')} / "
+        f"(sqrt({fold('CAST(x.v[i] AS DOUBLE) * CAST(x.v[i] AS DOUBLE)')}) * "
+        f"sqrt({fold('CAST(y.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE)')}))"
+    )
+    return f"""WITH {','.join(_kmeans_ctes())},
+sv AS (SELECT vec_id AS id, embedding AS v, {hs} AS hk FROM embeddings),
+jj AS MATERIALIZED (SELECT af.id, af.cl, sv.v, sv.hk FROM af JOIN sv ON sv.id = af.id),
+drp AS (SELECT DISTINCT x.id FROM jj x JOIN jj y ON y.cl = x.cl
+          AND (y.hk < x.hk OR (y.hk = x.hk AND y.id < x.id))
+        WHERE {cos} >= {SD_THRESHOLD})
+SELECT j.id, CAST(j.cl AS INT) AS cluster, (d.id IS NULL) AS kept
+FROM jj j LEFT JOIN drp d ON d.id = j.id"""
+
+
+MIS_ROUNDS = 8
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-priority maximal independent set
+    (algorithms/mis.py) on the sparse undirected graph; the oracle
+    replays the identical fixed rounds."""
+    from signal_collect_spark.algorithms.mis import maximal_independent_set
+
+    out, _ = maximal_independent_set(
+        spark, sparse_edges(spark, sf_dir), rounds=MIS_ROUNDS, num_partitions=8
+    )
+    return out
+
+
+def _mis_sql() -> str:
+    h = HS.sql_hash60("'mis|' || CAST(id AS VARCHAR)")
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        f"mv0 AS (SELECT id, {h} AS hk FROM sverts),",
+        "me0 AS (SELECT src, dst FROM suedges)",
+    ]
+    for k in range(1, MIS_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f""",nm{k} AS (SELECT src, hk_d, id_d FROM (
+    SELECT e.src, v2.hk AS hk_d, v2.id AS id_d,
+           row_number() OVER (PARTITION BY e.src ORDER BY v2.hk, v2.id) AS rn
+    FROM me{p} e JOIN mv{p} v2 ON v2.id = e.dst) WHERE rn = 1),
+w{k} AS MATERIALIZED (SELECT v.id FROM mv{p} v LEFT JOIN nm{k} n ON n.src = v.id
+  WHERE n.src IS NULL OR v.hk < n.hk_d OR (v.hk = n.hk_d AND v.id < n.id_d)),
+o{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+  FROM me{p} e JOIN w{k} w ON w.id = e.src),
+mv{k} AS MATERIALIZED (SELECT v.id, v.hk FROM mv{p} v
+  WHERE v.id NOT IN (SELECT id FROM w{k}) AND v.id NOT IN (SELECT id FROM o{k})),
+me{k} AS MATERIALIZED (SELECT e.src, e.dst FROM me{p} e
+  WHERE e.src IN (SELECT id FROM mv{k}) AND e.dst IN (SELECT id FROM mv{k}))"""
+        )
+    finals = [
+        f"SELECT id, 'in' AS status, CAST({k} AS INT) AS round FROM w{k}\n"
+        f"UNION ALL SELECT id, 'out', CAST({k} AS INT) FROM o{k}"
+        for k in range(1, MIS_ROUNDS + 1)
+    ]
+    finals.append(
+        f"SELECT id, 'undecided', CAST(0 AS INT) FROM mv{MIS_ROUNDS}"
+    )
+    return "\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+MM_ROUNDS = 8
+
+
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-priority maximal matching
+    (algorithms/matching.py) on the sparse undirected graph; the
+    oracle replays the identical fixed rounds."""
+    from signal_collect_spark.algorithms.matching import maximal_matching
+
+    out, _ = maximal_matching(
+        spark, sparse_edges(spark, sf_dir), rounds=MM_ROUNDS, num_partitions=8
+    )
+    return out
+
+
+def _matching_sql() -> str:
+    h = HS.sql_hash60("'mm|' || CAST(lo AS VARCHAR) || '|' || CAST(hi AS VARCHAR)")
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        f"""mm0 AS (SELECT lo, hi, {h} AS hk FROM
+  (SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM suedges))""",
+    ]
+    for k in range(1, MM_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f""",vm{k} AS (SELECT v, lo, hi FROM (
+    SELECT i.v, i.hk, i.lo, i.hi,
+           row_number() OVER (PARTITION BY i.v ORDER BY i.hk, i.lo, i.hi) AS rn
+    FROM (SELECT e.lo AS v, e.hk, e.lo, e.hi FROM mm{p} e
+          UNION ALL SELECT e.hi, e.hk, e.lo, e.hi FROM mm{p} e) i) WHERE rn = 1),
+mt{k} AS MATERIALIZED (SELECT e.lo, e.hi FROM mm{p} e
+  JOIN vm{k} a ON a.v = e.lo AND a.lo = e.lo AND a.hi = e.hi
+  JOIN vm{k} b ON b.v = e.hi AND b.lo = e.lo AND b.hi = e.hi),
+tc{k} AS (SELECT lo AS v FROM mt{k} UNION SELECT hi FROM mt{k}),
+dr{k} AS MATERIALIZED (SELECT DISTINCT e.lo, e.hi FROM mm{p} e
+  WHERE NOT EXISTS (SELECT 1 FROM mt{k} m WHERE m.lo = e.lo AND m.hi = e.hi)
+    AND (e.lo IN (SELECT v FROM tc{k}) OR e.hi IN (SELECT v FROM tc{k}))),
+mm{k} AS MATERIALIZED (SELECT e.lo, e.hi, e.hk FROM mm{p} e
+  WHERE NOT EXISTS (SELECT 1 FROM mt{k} m WHERE m.lo = e.lo AND m.hi = e.hi)
+    AND NOT EXISTS (SELECT 1 FROM dr{k} d WHERE d.lo = e.lo AND d.hi = e.hi))"""
+        )
+    finals = [
+        f"SELECT lo, hi, TRUE AS matched, CAST({k} AS INT) AS round FROM mt{k}\n"
+        f"UNION ALL SELECT lo, hi, FALSE, CAST({k} AS INT) FROM dr{k}"
+        for k in range(1, MM_ROUNDS + 1)
+    ]
+    finals.append(f"SELECT lo, hi, FALSE, CAST(0 AS INT) FROM mm{MM_ROUNDS}")
+    return "\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.py asof_join): each purchase event gets the
+    user's latest preceding (<=) non-purchase event — type, time,
+    value. The oracle is DuckDB's NATIVE ASOF JOIN on the same-deduped
+    right side, so the union-sort trick is checked against an
+    independent range-scan implementation."""
+    from signal_collect_spark.data.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    return asof_join(left, right, on="ts", by="user_id")
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts, event_type, value FROM events WHERE event_type <> 'purchase'),
+r AS (SELECT user_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_type DESC, value DESC) AS rn
+      FROM r0) WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS asof_ts, r.event_type AS asof_event_type, r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
 
 
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -2897,6 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_cc(),
         "connected_components_csr": _q_cc(mode="csr"),
         "label_propagation": _q_lp,
+        "modularity": _q_modularity,
+        "unigram_xent": _q_unigram_xent,
         "sssp_hops": _q_bfs,
         "sssp_weighted": _q_sssp_weighted,
         "triangle_count": _q_triangle_count,
@@ -2957,6 +3203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "event_windows": _q_event_windows,
         "kmeans": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "mis": _q_mis,
+        "matching": _q_matching,
+        "asof_join": _q_asof_join,
         "cooccurrence_graph": _q_cooccurrence,
         "adamic_adar": _q_adamic_adar,
         "host_graph": _q_host_graph,
@@ -3011,6 +3261,8 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _cc_sql(),
         "connected_components_csr": _cc_sql(),
         "label_propagation": _lp_sql(),
+        "modularity": _modularity_sql(),
+        "unigram_xent": _UNIGRAM_XENT_SQL,
         "sssp_hops": _bfs_sql(),
         "sssp_weighted": _bf_sql(),
         "triangle_count": f"""WITH {_DENSE_SQL.strip()},
@@ -3190,6 +3442,10 @@ FROM sverts""",
         "graph_stats": _graph_stats_sql(),
         "event_windows": _event_windows_sql(),
         "kmeans": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
+        "mis": _mis_sql(),
+        "matching": _matching_sql(),
+        "asof_join": _ASOF_SQL,
         "cooccurrence_graph": _cooccurrence_sql(),
         "adamic_adar": _adamic_adar_sql(),
         "host_graph": _host_graph_sql(),

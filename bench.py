@@ -107,6 +107,25 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     queries["triangle_count"] = time.monotonic() - t0
     extra["triangles"] = n_tri
 
+    # --- SALSA (stochastic hub/authority walk, 6 full steps) ----------------
+    from signal_collect_spark.algorithms.salsa import salsa
+
+    t0 = time.monotonic()
+    sal, _sinfo = salsa(spark, edges, steps=6)
+    sal.count()
+    queries["salsa"] = time.monotonic() - t0
+
+    # --- maximal independent set (hash-priority rounds, xxhash fast path) ---
+    from signal_collect_spark.algorithms.mis import maximal_independent_set
+
+    t0 = time.monotonic()
+    mis_out, mis_info = maximal_independent_set(
+        spark, edges, rounds=16, hash_fn="xxhash64"
+    )
+    extra["mis_in"] = mis_out.filter(F.col("status") == "in").count()
+    queries["mis"] = time.monotonic() - t0
+    extra["mis_rounds"] = mis_info.supersteps
+
     # --- code-graph ingest (synthetic source table per input_hint) ----------
     t0 = time.monotonic()
     src = make_source_files(spark, n_repos=50, files_per_repo=100, refs_per_file=6)
@@ -155,6 +174,22 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     q = emb.filter(F.col("vec_id") < 20)
     S.cosine_topk(emb, q, k=10, mode="numpy").count()
     queries["ann_cosine_topk"] = time.monotonic() - t0
+
+    # --- SemDeDup + as-of join ----------------------------------------------
+    from signal_collect_spark.data.clustering import semantic_dedup
+    from signal_collect_spark.data.temporal import asof_join
+
+    t0 = time.monotonic()
+    sd = semantic_dedup(emb, k=16, iters=2, threshold=0.3, hash_fn="xxhash64")
+    extra["semdedup_dropped"] = sd.filter(~F.col("kept")).count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    asof_join(
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_type", "value"
+        ),
+    ).count()
+    queries["semdedup_asof"] = time.monotonic() - t0
 
     # --- text stats ----------------------------------------------------------
     t0 = time.monotonic()

@@ -15,6 +15,9 @@ from signal_collect_spark.algorithms.examples import (
 from signal_collect_spark.algorithms.hamiltonian import hamiltonian_paths
 from signal_collect_spark.algorithms.hits import hits
 from signal_collect_spark.algorithms.salsa import salsa
+from signal_collect_spark.algorithms.matching import maximal_matching
+from signal_collect_spark.algorithms.mis import maximal_independent_set
+from signal_collect_spark.algorithms.modularity import modularity
 from signal_collect_spark.algorithms.kcore import core_number, k_core
 from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
 from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
@@ -49,6 +52,9 @@ __all__ = [
     "hamiltonian_paths",
     "hits",
     "salsa",
+    "maximal_independent_set",
+    "maximal_matching",
+    "modularity",
     "k_core",
     "core_number",
     "sudoku",

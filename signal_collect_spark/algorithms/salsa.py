@@ -28,7 +28,10 @@ so each half-step is one hash join with the current score vector plus
 one map-side-combined sum — identical plan shape (and cost) to a
 PageRank superstep. Lineage is cut with a per-iteration
 ``localCheckpoint`` (the iterative-join-chain lesson from star CC /
-HITS); the only driver action is the final materialization.
+HITS — and the plan truncation also keeps Spark's per-action UI
+explain rendering linear); the ContextCleaner reclaims each
+iteration's checkpoint blocks once the loop drops its reference. The
+only driver action is the final materialization.
 """
 
 from __future__ import annotations
@@ -110,7 +113,6 @@ def salsa(
     )
 
     hub = None
-    pending: list[DataFrame] = []
     for step in range(steps):
         # hub half-step: pull authority mass backward along in-edges,
         # split by the authority's in-degree
@@ -128,8 +130,17 @@ def salsa(
             .agg(F.sum(F.col("hub") * F.col("inv_out")).alias("authority"))
             .withColumnRenamed("dst", "id")
         )
+        # localCheckpoint per iteration is LOAD-BEARING: it truncates
+        # the logical plan to a LogicalRDD leaf. A persist()-only chain
+        # keeps the nested plan, and Spark 4 renders a FORMATTED plan
+        # string for the UI on every action (spark.sql.ui.explainMode),
+        # whose operator-ID walk blows up combinatorially on nested
+        # InMemoryRelations — measured as a multi-minute stall at 6
+        # steps. The checkpoint blocks are reclaimed by the
+        # ContextCleaner once the loop drops its reference (unpersist()
+        # is a no-op on checkpoint RDDs — they bypass the cache
+        # manager).
         auth = auth.repartition(P, "id").localCheckpoint(eager=False)
-        pending.append(auth)
         info.per_step.append({"superstep": step + 1, "wall_ms": None})
 
     out = (
@@ -144,11 +155,6 @@ def salsa(
     )
     e.unpersist()
     vertices.unpersist()
-    # out is materialized, so the per-iteration checkpoint blocks can go
-    # (the engine's pending-list pattern, superstep.py) — without this a
-    # long-lived session accumulates one block set per salsa() call
-    for df in pending:
-        df.unpersist()
     info.supersteps = steps
     info.converged = True
     info.stop_reason = "steps"

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from signal_collect_spark.data.hashing import hash_fn_column
+from signal_collect_spark.data.similarity import _cos_expr
 
 
 def _dist_expr(vec_col, centroid: list[float]):
@@ -106,3 +107,77 @@ def kmeans(
         return out
     finally:
         base.unpersist()
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_fn: str = "portable",
+    seed: str = "sd|",
+    max_cluster: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    clustering the embedding space with k-means, then dropping every
+    vector that has an EARLIER same-cluster vector within cosine
+    ``threshold``. Returns (id, cluster, kept) for the whole corpus.
+
+    "Earlier" is the deterministic portable-hash order (hash of
+    ``seed || id``, ties by id) — content-decorrelated, so the survivor
+    of each duplicate group is an unbiased pick, and the rule needs no
+    transitive closure: x is dropped iff SOME earlier y in its cluster
+    has cos(x, y) >= threshold. This is the paper's keep-one-per-
+    duplicate-group semantics restated as a pairwise domination test,
+    which makes it a pure function of the input (SQL-replayable — the
+    DuckDB oracle in `__spark_entry__.py` replays the identical
+    k-means iterations and domination join).
+
+    Scale shape: the whole point of SemDeDup is replacing the O(n²)
+    all-pairs cosine with O(Σ_c n_c²) within-cluster pairs — k grows
+    with the corpus so n_c stays bounded. Here that is ONE equi-join
+    on cluster id (shuffle keyed on cluster, no broadcast of the
+    corpus), cosine as a JVM left-fold expression, and a left-semi +
+    left-anti pair against the drop set. ``max_cluster`` (default
+    100k) is the loud guard: a cluster bigger than that means k is too
+    small for the corpus and the quadratic term is back — raise k.
+    """
+    assign = kmeans(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, hash_fn=hash_fn
+    )
+    key = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), key.alias("hk")
+    )
+    j = assign.join(vecs, "id")
+    if max_cluster is not None:
+        biggest = j.groupBy("cluster").count().agg(F.max("count")).first()[0]
+        if biggest is not None and biggest > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {biggest} vectors "
+                f"(max_cluster={max_cluster}); the within-cluster pair join "
+                "would be quadratic in that — increase k"
+            )
+    x = j.select(
+        F.col("id").alias("id_x"), F.col("cluster").alias("cl"),
+        F.col("vec").alias("vx"), F.col("hk").alias("hx"),
+    )
+    y = j.select(
+        F.col("id").alias("id_y"), F.col("cluster").alias("cl"),
+        F.col("vec").alias("vy"), F.col("hk").alias("hy"),
+    )
+    earlier = (F.col("hy") < F.col("hx")) | (
+        (F.col("hy") == F.col("hx")) & (F.col("id_y") < F.col("id_x"))
+    )
+    dropped = (
+        x.join(y, "cl")
+        .filter(earlier & (_cos_expr(F.col("vx"), F.col("vy")) >= F.lit(threshold)))
+        .select(F.col("id_x").alias("id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped.select("id", F.lit(False).alias("__kept")), "id", "left"
+    ).select("id", "cluster", F.coalesce("__kept", F.lit(True)).alias("kept"))

@@ -1,0 +1,99 @@
+"""Temporal joins over event tables — the as-of join.
+
+Beyond-reference data-pipeline operator: the reference's streaming
+surface (edge logs, windows, sessions — streaming.py here) covers
+aligned-time aggregation, but training-data and analytics pipelines
+constantly need the MISALIGNED-time primitive: attach to each event
+the latest earlier record of another stream (last model version before
+a sample was scored, last page view before a purchase, last config
+change before an error). That is the as-of join (kdb+'s ``aj``,
+pandas ``merge_asof``, DuckDB ``ASOF JOIN``).
+
+Spark has no built-in as-of join. The naive formulations both fail at
+scale: a range join (``l.ts >= r.ts``) is O(n·m) per key without a
+range-join optimizer, and a windowed subquery per left row shuffles
+twice. This implementation uses the union-sort trick — tag both
+sides, union, ONE window sorted by (key, ts, side) carrying the last
+non-null right payload forward — so the whole join costs exactly one
+shuffle + sort per key partition, the same cost as a session window,
+and inherits AQE skew handling on hot keys.
+
+Determinism: right rows at identical (key, ts) are ordered by their
+payload struct, so "the" latest right row is well-defined and the
+operator is a pure function of its inputs (the DuckDB oracle in
+`__spark_entry__.py` dedupes equal timestamps the same way before its
+native ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every ``left`` row, attach the latest ``right`` row of the
+    same ``by`` key with ``right.on <= left.on`` (ties included).
+
+    Returns all ``left`` columns plus ``{prefix}{on}`` (the matched
+    right timestamp) and ``{prefix}{c}`` for each of ``value_cols``
+    (default: every right column except ``on``/``by``) — NULL when no
+    right row precedes the left row (or none within
+    ``tolerance_seconds``, when given).
+
+    Multiple right rows at the exact same (key, timestamp) resolve to
+    the one with the greatest (value_cols...) tuple — a pinned,
+    engine-independent tie rule.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c != on and c not in keys]
+    lcols = left.columns
+    payload = F.struct(
+        F.col(on).alias("__ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in lcols) + ">"
+        ).alias("__l"),
+    )
+    lp = F.struct(*[F.col(c).alias(c) for c in lcols])
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType.simpleString()).alias("__r"),
+        lp.alias("__l"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "__side", "__l", F.last("__r", ignorenulls=True).over(w).alias("__m")
+    )
+    out = carried.filter(F.col("__side") == 1)
+    cols = [F.col(f"__l.{c}").alias(c) for c in lcols]
+    m = F.col("__m")
+    if tolerance_seconds is not None:
+        stale = (
+            F.col(f"__l.{on}").cast("double") - m["__ts"].cast("double")
+        ) > F.lit(float(tolerance_seconds))
+        m = F.when(m.isNotNull() & ~stale, F.col("__m"))
+    cols.append(m["__ts"].alias(f"{prefix}{on}"))
+    cols.extend(m[c].alias(f"{prefix}{c}") for c in value_cols)
+    return out.select(*cols)

@@ -316,3 +316,45 @@ def corpus_profile(
         F.round("z.cq", 6).alias("chars_q"),
         F.round("z.tq", 6).alias("tokens_q"),
     )
+
+
+def unigram_xent(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, xent_bits): per-document cross-entropy in bits
+    under the corpus's OWN unigram MLE — the language-model quality
+    proxy of the CCNet/Gopher filtering recipe, self-trained so it
+    needs no external model artifact: documents whose token
+    distribution is far from the corpus's (gibberish, boilerplate,
+    wrong language) score high.
+
+        xent(d) = -(1/|d|) * SUM_{t in d} log2( count(t) / T )
+
+    where count(t) is the corpus-wide token frequency and T the total
+    token count. Every scored token was seen in training by
+    construction, so the MLE needs no smoothing.
+
+    Scale shape: one explode pass builds (doc, token) rows; token
+    frequencies are ONE map-side-combined count; the score join is a
+    hash equi-join keyed on the token — stop-token keys are heavy, so
+    at full scale enable AQE skew-join handling (engine default) or
+    broadcast the head of the frequency table; the final per-doc
+    aggregate map-side-combines. No windows, no Python, no collect.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tf.agg(F.sum("c").alias("T"))
+    return (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.avg(F.log2(F.col("c").cast("double") / F.col("T").cast("double"))),
+                6,
+            ).alias("xent_bits"),
+        )
+    )

@@ -302,3 +302,112 @@ def test_wl_round_has_partial_aggregation(spark):
     plan = _plan(sig)
     assert "CartesianProduct" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_salsa_half_step_has_partial_aggregation(spark):
+    """SALSA's half-steps must keep the PageRank-superstep plan shape:
+    equi hash join + map-side-combined keyed sum, no cartesian."""
+    edges = FX.edges_df(spark, FX.torus(4))
+    base = edges.select("src", "dst").distinct()
+    outd = base.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ind = base.groupBy("dst").agg(F.count("*").alias("indeg"))
+    e = (
+        base.join(outd, "src")
+        .join(ind, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("outdeg")).alias("inv_out"),
+            (F.lit(1.0) / F.col("indeg")).alias("inv_in"),
+        )
+    )
+    auth = (
+        e.select(F.col("dst").alias("id"))
+        .distinct()
+        .select("id", F.lit(0.5).alias("authority"))
+    )
+    hub = (
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.sum(F.col("authority") * F.col("inv_in")).alias("hub"))
+    )
+    plan = _plan(hub)
+    assert plan.count("HashAggregate") >= 2  # partial + final keyed sum
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_profile_prunes_to_group_and_text(spark):
+    """The quantile profile must read only (source, text) from the
+    documents scan — at 100 TB the other columns are pure I/O waste."""
+    from signal_collect_spark.data.textstats import corpus_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(corpus_profile(docs))
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "source" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "doc_id" not in read_schema
+    # exactly one shuffle for the grouped aggregate, none before it
+    # (count tree-summary lines only — each node also reprints in the
+    # formatted detail section)
+    tree = [ln.lstrip("+- ") for ln in plan.splitlines() if ln.lstrip().startswith("+-")]
+    assert sum(1 for ln in tree if ln.startswith("Exchange")) == 1
+    # and the percentile sort-buffers are map-side combined (partial +
+    # final ObjectHashAggregate around that single exchange)
+    assert sum(1 for ln in tree if ln.startswith("ObjectHashAggregate")) == 2
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of union-sort trick must compile to ONE shuffle (the
+    per-key window) and ZERO join operators — that's its whole
+    advantage over the O(n·m) range join."""
+    import datetime as dt
+
+    from signal_collect_spark.data.temporal import asof_join
+
+    ts = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 7, ts)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, ts, "a", 1.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    plan = _plan(asof_join(left, right))
+    assert "Join" not in plan, plan  # matches *HashJoin / SortMergeJoin / NestedLoop
+    assert "Window" in plan
+    # count tree-summary lines only (formatted explain reprints each
+    # node in the detail section)
+    tree = [ln.lstrip("+- ") for ln in plan.splitlines() if ln.lstrip().startswith("+-")]
+    assert sum(1 for ln in tree if ln.startswith("Exchange")) == 1, plan
+
+
+def test_semdedup_pair_join_is_equi_hash(spark):
+    """The within-cluster pair stage must be an equi join keyed on the
+    cluster id — never a cartesian/nested-loop over the corpus."""
+    from signal_collect_spark.data.clustering import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=2, iters=1, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mis_round_has_partial_min_aggregation(spark):
+    """The per-round neighbor-min must map-side combine (partial +
+    final aggregate around one exchange), like every keyed reduction
+    in the engine."""
+    edges = FX.edges_df(spark, FX.torus(4))
+    base = edges.select("src", "dst").distinct()
+    verts = base.select(F.col("src").alias("id")).distinct().select(
+        "id", F.xxhash64("id").alias("hk")
+    )
+    nm = (
+        base.join(verts.select(F.col("id").alias("dst"), F.col("hk").alias("hk_d")), "dst")
+        .groupBy("src")
+        .agg(F.min(F.struct(F.col("hk_d").alias("hk"), F.col("dst").alias("id"))).alias("m"))
+    )
+    plan = _plan(nm)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan

@@ -76,12 +76,15 @@ def test_salsa_sink_and_source_vertices(spark):
 
 
 def test_salsa_releases_caches(spark):
+    # the iterates are localCheckpoint-ed (plan truncation; blocks are
+    # ContextCleaner-reclaimed), so the CACHE MANAGER must end empty —
+    # the hamiltonian/crawler pattern
+    spark.catalog.clearCache()
     edges = G.edges_from_pairs(spark, [(0, 1), (1, 2), (2, 0)])
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     out, _ = salsa(spark, edges, steps=3, num_partitions=2)
     out.count()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after <= before + 1  # only the eager localCheckpoint result
+    jspark = spark._jsparkSession
+    assert jspark.sharedState().cacheManager().isEmpty(), "salsa left DataFrames cached"
 
 
 def test_corpus_profile_exact_quantiles(spark):
@@ -111,3 +114,99 @@ def test_corpus_profile_exact_quantiles(spark):
         assert tq == pytest.approx(float(np.quantile(toks_a, p)), abs=1e-9)
     assert got[("b", 0.75)] == (2, 5.0, 2.0)
     assert len(got) == 8
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def _py_modularity(pairs_w, labels):
+    und = set()
+    for a, b, w in pairs_w:
+        if a != b:
+            und.add((a, b, w))
+            und.add((b, a, w))
+    W = sum(w for _, _, w in und)
+    deg = {}
+    for a, _b, w in und:
+        deg[a] = deg.get(a, 0.0) + w
+    in_w = sum(
+        w
+        for a, b, w in und
+        if labels.get(a) is not None and labels.get(a) == labels.get(b)
+    )
+    K = {}
+    for v, k in deg.items():
+        lab = labels.get(v)
+        if lab is not None:
+            K[lab] = K.get(lab, 0.0) + k
+    return in_w / W - sum((k / W) ** 2 for k in K.values())
+
+
+def _modularity_df(spark, pairs_w, labels):
+    from signal_collect_spark.algorithms.modularity import modularity
+
+    edges = spark.createDataFrame(pairs_w, "src long, dst long, weight double")
+    lab = spark.createDataFrame(list(labels.items()), "id long, label long")
+    return modularity(edges, lab).first()
+
+
+def test_modularity_two_triangles(spark):
+    # two triangles bridged by one edge; the natural partition
+    pairs = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+             (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0), (2, 3, 1.0)]
+    labels = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    r = _modularity_df(spark, pairs, labels)
+    assert r["modularity"] == pytest.approx(
+        round(_py_modularity(pairs, labels), 6), abs=1e-9
+    )
+    assert r["n_communities"] == 2
+    assert r["modularity"] > 0.3  # a genuinely good partition
+
+
+def test_modularity_single_community_is_zero(spark):
+    pairs = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0)]
+    labels = {0: 7, 1: 7, 2: 7}
+    r = _modularity_df(spark, pairs, labels)
+    assert r["modularity"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_communities"] == 1
+
+
+def test_modularity_weighted_matches_python(spark):
+    pairs = [(0, 1, 2.5), (1, 2, 0.5), (2, 3, 4.0), (3, 0, 1.0), (0, 2, 2.0)]
+    labels = {0: 0, 1: 0, 2: 1, 3: 1}
+    r = _modularity_df(spark, pairs, labels)
+    assert r["modularity"] == pytest.approx(
+        round(_py_modularity(pairs, labels), 6), abs=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram cross-entropy
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_xent_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from signal_collect_spark.data.textstats import unigram_xent
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zq xv zq"),  # rare tokens -> highest cross-entropy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_tokens"], r["xent_bits"]) for r in unigram_xent(docs).collect()}
+
+    toks = {i: t.split(" ") for i, t in rows}
+    cnt = Counter(tok for ts in toks.values() for tok in ts)
+    T = sum(cnt.values())
+    for i, ts in toks.items():
+        want = -sum(math.log2(cnt[t] / T) for t in ts) / len(ts)
+        assert got[i][0] == len(ts)
+        assert got[i][1] == pytest.approx(round(want, 6), abs=1e-9)
+    # the gibberish doc is the worst under the corpus's own LM
+    assert got[3][1] > got[1][1] and got[3][1] > got[2][1]
