@@ -2008,6 +2008,77 @@ me{k} AS MATERIALIZED (SELECT e.src, e.dst FROM me{p} e
     return "\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
 
 
+KATZ_ALPHA = 0.01
+KATZ_BETA = 1.0
+KATZ_STEPS = 12
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (algorithms/katz.py): the PageRank delta engine
+    with raw edge weights and no out-degree split — fixed 12 steps so
+    the oracle replays the identical Jacobi trajectory."""
+    from signal_collect_spark.algorithms.katz import katz
+
+    state, _ = katz(
+        spark,
+        sparse_edges(spark, sf_dir),
+        alpha=KATZ_ALPHA,
+        beta=KATZ_BETA,
+        converge_tol=0.0,
+        max_steps=KATZ_STEPS,
+        num_partitions=8,
+    )
+    return state
+
+
+def _katz_sql() -> str:
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        f"kz0 AS (SELECT id, {KATZ_BETA} AS katz FROM sverts)",
+    ]
+    for k in range(1, KATZ_STEPS + 1):
+        ctes.append(
+            f""",kz{k} AS MATERIALIZED (
+  SELECT v.id, {KATZ_BETA} + {KATZ_ALPHA} * COALESCE(s.acc, 0.0) AS katz
+  FROM sverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.katz * e.weight) AS acc
+    FROM sedges e JOIN kz{k - 1} p ON p.id = e.src GROUP BY e.dst) s
+  ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + f"\nSELECT id, ROUND(katz, 4) AS katz FROM kz{KATZ_STEPS}"
+
+
+WS_K = 15
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (sampling.py weighted_sample): top-15 docs per source by
+    u^(1/n_chars) with the deterministic portable-hash uniform."""
+    from signal_collect_spark.data.sampling import weighted_sample
+
+    out = weighted_sample(
+        _docs(spark, sf_dir), "n_chars", WS_K, strata_col="source"
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
+def _weighted_sample_sql() -> str:
+    h = HS.sql_hash60("'wsamp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {h} AS h,
+         ROUND(POWER((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0,
+                     1.0 / CAST(n_chars AS DOUBLE)), 12) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY k DESC, h, doc_id)
+           AS sample_rank
+  FROM t) WHERE sample_rank <= {WS_K}
+"""
+
+
 MM_ROUNDS = 8
 
 
@@ -3206,6 +3277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "mis": _q_mis,
         "matching": _q_matching,
+        "katz": _q_katz,
+        "weighted_sample": _q_weighted_sample,
         "asof_join": _q_asof_join,
         "cooccurrence_graph": _q_cooccurrence,
         "adamic_adar": _q_adamic_adar,
@@ -3445,6 +3518,8 @@ FROM sverts""",
         "semdedup": _semdedup_sql(),
         "mis": _mis_sql(),
         "matching": _matching_sql(),
+        "katz": _katz_sql(),
+        "weighted_sample": _weighted_sample_sql(),
         "asof_join": _ASOF_SQL,
         "cooccurrence_graph": _cooccurrence_sql(),
         "adamic_adar": _adamic_adar_sql(),

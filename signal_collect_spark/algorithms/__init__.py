@@ -15,6 +15,7 @@ from signal_collect_spark.algorithms.examples import (
 from signal_collect_spark.algorithms.hamiltonian import hamiltonian_paths
 from signal_collect_spark.algorithms.hits import hits
 from signal_collect_spark.algorithms.salsa import salsa
+from signal_collect_spark.algorithms.katz import katz
 from signal_collect_spark.algorithms.matching import maximal_matching
 from signal_collect_spark.algorithms.mis import maximal_independent_set
 from signal_collect_spark.algorithms.modularity import modularity
@@ -52,6 +53,7 @@ __all__ = [
     "hamiltonian_paths",
     "hits",
     "salsa",
+    "katz",
     "maximal_independent_set",
     "maximal_matching",
     "modularity",

@@ -75,3 +75,55 @@ def hash_fraction_sample(
     h = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
     threshold = int(fraction * (1 << 60))
     return docs.filter(h < F.lit(threshold))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: str = "wsamp|",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    IPL 2006, algorithm A-ES): keep the ``k`` rows with the largest
+    key u^(1/w), where u is a deterministic uniform in (0, 1] derived
+    from the portable 60-bit hash of ``seed || id`` and w the row's
+    weight — each subset's selection probability is exactly the
+    sequential weighted draw's. Per ``strata_col`` group when given
+    (e.g. "sample 10k docs per language, weighted by quality score").
+
+    Rows with weight <= 0 or NULL are excluded (they'd get key 0
+    anyway). Returns the input columns + ``sample_rank`` (1-based,
+    descending key). Determinism across engines: the key is ROUNDED to
+    12 decimals before ranking (pow/log are not correctly-rounded
+    across libm implementations — the kmeans 6-dp pinning lesson),
+    with (hash, id) as the total tie-break, so the DuckDB oracle
+    re-derives the identical sample.
+
+    Shape: one hash projection + one window; WindowGroupLimit pushes
+    the rank <= k cap below the shuffle exactly as in
+    :func:`stratified_sample`, so hot strata ship O(k x partitions)
+    rows, not their full size.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    w = (
+        W.partitionBy(strata_col) if strata_col is not None else W.partitionBy()
+    ).orderBy(F.col("__key").desc(), F.col("__h"), F.col(id_col))
+    out = (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__h", h)
+        .withColumn("__key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h", "__key")
+    )
+    return out

@@ -332,3 +332,88 @@ def test_matching_releases_caches(spark):
     out.count()
     jspark = spark._jsparkSession
     assert jspark.sharedState().cacheManager().isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+
+
+def test_katz_matches_numpy_jacobi(spark):
+    import numpy as np
+
+    from signal_collect_spark.algorithms.katz import katz
+
+    pairs = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0), (0, 2, 1.0), (3, 0, 1.0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    alpha, beta, steps = 0.05, 1.0, 10
+    out, info = katz(
+        spark, edges, alpha=alpha, beta=beta, converge_tol=0.0, max_steps=steps
+    )
+    got = {r["id"]: r["katz"] for r in out.collect()}
+
+    ids = sorted({v for a, b, _ in pairs for v in (a, b)})
+    ix = {v: i for i, v in enumerate(ids)}
+    W = np.zeros((len(ids), len(ids)))
+    for a, b, w in pairs:
+        W[ix[a], ix[b]] += w
+    x = np.full(len(ids), beta)
+    for _ in range(steps):
+        x = beta + alpha * (W.T @ x)
+    for v in ids:
+        assert got[v] == pytest.approx(round(float(x[ix[v]]), 4), abs=1e-9)
+    assert info.supersteps == steps
+
+
+def test_katz_converges_and_diverge_guard(spark):
+    from signal_collect_spark.algorithms.katz import katz
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double"
+    )
+    out, info = katz(spark, edges, alpha=0.2, converge_tol=1e-12, max_steps=200)
+    got = {r["id"]: r["katz"] for r in out.collect()}
+    # symmetric pair: x = 1 / (1 - alpha) exactly
+    assert got[0] == pytest.approx(1.0 / 0.8, abs=1e-9)
+    assert info.converged
+    with pytest.raises(ValueError, match="lambda_max"):
+        katz(spark, edges, alpha=1.5, converge_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_matches_python_aes(spark):
+    from signal_collect_spark.data.sampling import weighted_sample
+
+    rows = [(i, "s0" if i < 20 else "s1", float(1 + (i * 7) % 13)) for i in range(35)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got = {
+        (r["source"], r["sample_rank"]): r["doc_id"]
+        for r in weighted_sample(docs, "w", 5, strata_col="source").collect()
+    }
+    # independent python reference
+    import math
+
+    def key(i, w):
+        h = _hk("wsamp|", i)
+        u = (float(h) + 1.0) / float(1 << 60)
+        return round(math.pow(u, 1.0 / w), 12)
+
+    for src in ("s0", "s1"):
+        members = [(i, w) for i, s, w in rows if s == src]
+        order = sorted(members, key=lambda t: (-key(t[0], t[1]), _hk("wsamp|", t[0]), t[0]))
+        for rank, (i, _w) in enumerate(order[:5], start=1):
+            assert got[(src, rank)] == i, (src, rank)
+
+
+def test_weighted_sample_zero_weight_excluded_and_heavy_bias(spark):
+    from signal_collect_spark.data.sampling import weighted_sample
+
+    rows = [(1, 0.0), (2, -1.0), (3, None), (4, 1e9), (5, 1e-9)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(docs, "w", 2)
+    got = [r["doc_id"] for r in out.orderBy("sample_rank").collect()]
+    assert set(got) == {4, 5} and got[0] == 4  # giant weight ranks first
