@@ -218,6 +218,38 @@ def sessionize_native(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    content_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Ingest-time streaming dedup: keep the first arrival per content
+    key, where the key is sha2-256 over ``content_cols`` (the same
+    digest the batch ``exact_dedup`` operator groups on — dedup at the
+    pipe's mouth instead of a later full-corpus shuffle).
+
+    State is BOUNDED by the watermark: the engine remembers keys only
+    within the ``watermark`` horizon of event time, so at
+    100 TB/day the state store holds hours of keys (32 bytes each),
+    not the corpus — the standard trade-off that a duplicate arriving
+    later than the horizon is admitted. Batch inputs (no watermark
+    semantics) deduplicate exactly.
+
+    Works on batch AND streaming frames; the emitted row for a key is
+    the first received in arrival order (within a single micro-batch
+    Spark picks one representative — content-identical by
+    construction, so WHICH one only matters for carried metadata).
+    Returns the input columns plus ``content_key``.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    out = stream.withColumn("content_key", key)
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return out.dropDuplicates(["content_key"])
+
+
 def stream_edges_to_log(
     edges_stream: DataFrame, log_dir: str, checkpoint_dir: str
 ):

@@ -115,3 +115,40 @@ def test_edge_log_ingest_and_rank_refresh(spark, tmp_path):
     )
     ranks = {r["id"]: r["rank"] for r in state.collect()}
     assert ranks[4] == pytest.approx(0.66, abs=1e-5)
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup_events"))
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+    # duplicate every event's CONTENT under fresh event ids
+    dup = src.withColumn("event_id", F.col("event_id") + 10_000)
+    src.unionAll(dup).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_dedup_matches_batch(spark, dup_events_dir):
+    cols = ["user_id", "event_type", "value", "props"]
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(dup_events_dir)
+    q = (
+        ST.stream_dedup(stream, cols)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select content_key from dedup_stream")
+    batch = ST.stream_dedup(spark.read.parquet(dup_events_dir), cols)
+    g = sorted(r["content_key"] for r in got.collect())
+    b = sorted(r["content_key"] for r in batch.collect())
+    assert g == b and len(g) == len(set(g))
+    # every duplicated content row collapsed to ONE survivor
+    n_content = (
+        spark.read.parquet(dup_events_dir).select(*cols).distinct().count()
+    )
+    assert len(g) == n_content
