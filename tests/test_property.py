@@ -216,3 +216,53 @@ def test_url_normalization_matches_parts_on_random_urls(spark, examples):
     for (raw, canon), parts in zip(built, examples):
         assert got[raw][0] == canon, (raw, canon, got[raw][0])
         assert got[raw][1] == ".".join(parts[1]), raw
+
+
+def _hk60(seed: str, v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}{v}".encode()).hexdigest()[:15], 16)
+
+
+@given(pairs=_edges_strategy(n_vertices=10, max_edges=24))
+@settings(**_SETTINGS)
+def test_mis_equals_sequential_greedy_on_random_graphs(spark, pairs):
+    """The parallel hash-priority rounds must converge to the UNIQUE
+    sequential greedy MIS in (hash, id) order on every graph."""
+    from signal_collect_spark.algorithms.mis import maximal_independent_set
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out, _ = maximal_independent_set(spark, edges, rounds=12)
+    rows = {r["id"]: r["status"] for r in out.collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    mis = set()
+    for v in sorted(adj, key=lambda v: (_hk60("mis|", v), v)):
+        if not (adj[v] & mis):
+            mis.add(v)
+    assert {v for v, s in rows.items() if s == "in"} == mis
+    assert not any(s == "undecided" for s in rows.values())
+
+
+@given(pairs=_edges_strategy(n_vertices=10, max_edges=24))
+@settings(**_SETTINGS)
+def test_matching_equals_sequential_greedy_on_random_graphs(spark, pairs):
+    from signal_collect_spark.algorithms.matching import maximal_matching
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    out, _ = maximal_matching(spark, edges, rounds=12)
+    got = {(r["lo"], r["hi"]) for r in out.collect() if r["matched"]}
+
+    und = sorted(
+        {(min(a, b), max(a, b)) for a, b in pairs},
+        key=lambda e: (_hk60("mm|", f"{e[0]}|{e[1]}"), e),
+    )
+    used, want = set(), set()
+    for lo, hi in und:
+        if lo not in used and hi not in used:
+            want.add((lo, hi))
+            used.update((lo, hi))
+    assert got == want
