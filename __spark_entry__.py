@@ -2048,6 +2048,27 @@ def _katz_sql() -> str:
     return "\n".join(ctes) + f"\nSELECT id, ROUND(katz, 4) AS katz FROM kz{KATZ_STEPS}"
 
 
+def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the embedding column
+    (linalg.py embedding_gram, expr tier) — the one-pass reduction
+    behind corpus-scale PCA/whitening; the numpy/BLAS tier is tested
+    equal in pytest."""
+    from signal_collect_spark.data.linalg import embedding_gram
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_gram(emb, dim=KM_DIM, mode="expr")
+
+
+_EMBEDDING_GRAM_SQL = f"""
+SELECT t1.i::INT AS i, t2.j::INT AS j,
+       ROUND(SUM(CAST(embedding[t1.i + 1] AS DOUBLE) *
+                 CAST(embedding[t2.j + 1] AS DOUBLE)), 6) AS g
+FROM embeddings, range(0, {KM_DIM}) t1(i), range(0, {KM_DIM}) t2(j)
+WHERE t1.i <= t2.j
+GROUP BY t1.i, t2.j
+"""
+
+
 WS_K = 15
 
 
@@ -3279,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching": _q_matching,
         "katz": _q_katz,
         "weighted_sample": _q_weighted_sample,
+        "embedding_gram": _q_embedding_gram,
         "asof_join": _q_asof_join,
         "cooccurrence_graph": _q_cooccurrence,
         "adamic_adar": _q_adamic_adar,
@@ -3520,6 +3542,7 @@ FROM sverts""",
         "matching": _matching_sql(),
         "katz": _katz_sql(),
         "weighted_sample": _weighted_sample_sql(),
+        "embedding_gram": _EMBEDDING_GRAM_SQL,
         "asof_join": _ASOF_SQL,
         "cooccurrence_graph": _cooccurrence_sql(),
         "adamic_adar": _adamic_adar_sql(),

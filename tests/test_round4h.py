@@ -417,3 +417,39 @@ def test_weighted_sample_zero_weight_excluded_and_heavy_bias(spark):
     out = weighted_sample(docs, "w", 2)
     got = [r["doc_id"] for r in out.orderBy("sample_rank").collect()]
     assert set(got) == {4, 5} and got[0] == 4  # giant weight ranks first
+
+
+# ---------------------------------------------------------------------------
+# distributed Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_gram_matches_numpy_and_tiers_agree(spark):
+    import numpy as np
+
+    from signal_collect_spark.data.linalg import embedding_gram
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(40, 8).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    want = X.astype(np.float64).T @ X.astype(np.float64)
+    for mode in ("expr", "numpy"):
+        got = {
+            (r["i"], r["j"]): r["g"]
+            for r in embedding_gram(emb, dim=8, mode=mode).collect()
+        }
+        assert len(got) == 8 * 9 // 2
+        for (i, j), g in got.items():
+            assert i <= j
+            assert g == pytest.approx(round(float(want[i, j]), 6), abs=2e-6), (mode, i, j)
+
+
+def test_embedding_gram_unknown_mode(spark):
+    from signal_collect_spark.data.linalg import embedding_gram
+
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="unknown mode"):
+        embedding_gram(emb, dim=1, mode="gpu")
