@@ -2048,6 +2048,34 @@ def _katz_sql() -> str:
     return "\n".join(ctes) + f"\nSELECT id, ROUND(katz, 4) AS katz FROM kz{KATZ_STEPS}"
 
 
+PMI_K = 50
+PMI_MIN = 3
+
+
+def _q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token PMI collocations (textstats.py token_pmi),
+    6-dp-pinned scores, deterministic (pmi DESC, a, b) cut."""
+    return TS.token_pmi(_docs(spark, sf_dir), k=PMI_K, min_count=PMI_MIN)
+
+
+_TOKEN_PMI_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+pr AS (SELECT ts[i.i + 1] AS a, ts[i.i + 2] AS b
+       FROM toks, LATERAL (SELECT unnest(range(len(ts) - 1)) AS i) i),
+pairs AS (SELECT a, b, COUNT(*) AS pair_count FROM pr GROUP BY a, b
+          HAVING COUNT(*) >= {PMI_MIN}),
+tot AS (SELECT (SELECT SUM(c) FROM uni) AS T,
+               (SELECT SUM(GREATEST(len(ts) - 1, 0)) FROM toks) AS P)
+SELECT p.a, p.b, p.pair_count,
+       ROUND(log2((p.pair_count::DOUBLE / tot.P::DOUBLE) /
+                  ((ua.c::DOUBLE / tot.T::DOUBLE) * (ub.c::DOUBLE / tot.T::DOUBLE))),
+             6) AS pmi
+FROM pairs p JOIN uni ua ON ua.tok = p.a JOIN uni ub ON ub.tok = p.b, tot
+ORDER BY pmi DESC, p.a, p.b LIMIT {PMI_K}
+"""
+
+
 def _q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram matrix X^T X over the embedding column
     (linalg.py embedding_gram, expr tier) — the one-pass reduction
@@ -3301,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": _q_katz,
         "weighted_sample": _q_weighted_sample,
         "embedding_gram": _q_embedding_gram,
+        "token_pmi": _q_token_pmi,
         "asof_join": _q_asof_join,
         "cooccurrence_graph": _q_cooccurrence,
         "adamic_adar": _q_adamic_adar,
@@ -3543,6 +3572,7 @@ FROM sverts""",
         "katz": _katz_sql(),
         "weighted_sample": _weighted_sample_sql(),
         "embedding_gram": _EMBEDDING_GRAM_SQL,
+        "token_pmi": _TOKEN_PMI_SQL,
         "asof_join": _ASOF_SQL,
         "cooccurrence_graph": _cooccurrence_sql(),
         "adamic_adar": _adamic_adar_sql(),

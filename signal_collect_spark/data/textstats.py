@@ -358,3 +358,83 @@ def unigram_xent(
             ).alias("xent_bits"),
         )
     )
+
+
+def token_pmi(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information (Church & Hanks, CL 1990) — the classic corpus-level
+    phrase detector (what word2phrase / Gensim's Phrases score):
+
+        pmi(a, b) = log2( (c_ab / P) / ((c_a / T) · (c_b / T)) )
+
+    with c_ab the adjacent-pair count (P pairs total), c_a/c_b the
+    unigram counts (T tokens total). ``min_count`` suppresses the
+    low-frequency pairs whose PMI is spuriously high (the standard
+    correction). Returns (a, b, pair_count, pmi) ordered by
+    (pmi DESC, a, b); pmi is ROUNDED to 6 dp BEFORE the top-k cut so
+    the boundary is decided on the same grid in every engine.
+
+    Scale shape: one explode for pairs + one for unigrams, two
+    map-side-combined counts, two hash equi-joins on the token key
+    (skew on stop-tokens → AQE skew handling, engine default), and an
+    orderBy().limit(k) top-k — Spark's TakeOrdered, a per-partition
+    heap + driver merge of k rows, NOT a global sort. No windows, no
+    Python.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    ts = _tokens(text_col)
+    toks = docs.select(ts.alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ts, 1, greatest(size(ts) - 1, 0))").alias("a"),
+                    F.expr("slice(ts, 2, greatest(size(ts) - 1, 0))").alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("c").alias("T"),
+    ).crossJoin(
+        toks.select((F.greatest(F.size("ts") - 1, F.lit(0))).alias("np")).agg(
+            F.sum("np").alias("P")
+        )
+    )
+    pmi = (
+        pairs.join(uni.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log2(
+                    (F.col("pair_count").cast("double") / F.col("P").cast("double"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("T").cast("double"))
+                        * (F.col("cb").cast("double") / F.col("T").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "a", "b").limit(k)

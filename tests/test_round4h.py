@@ -453,3 +453,52 @@ def test_embedding_gram_unknown_mode(spark):
     emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="unknown mode"):
         embedding_gram(emb, dim=1, mode="gpu")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_token_pmi_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from signal_collect_spark.data.textstats import token_pmi
+
+    rows = [
+        (1, "new york is a big city"),
+        (2, "new york city hosts the new marathon"),
+        (3, "a big apple in new york"),
+        (4, "the marathon is big"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["a"], r["b"], r["pair_count"], r["pmi"])
+        for r in token_pmi(docs, k=5, min_count=2).collect()
+    ]
+
+    toks = [t.split(" ") for _, t in rows]
+    uni = Counter(tok for ts in toks for tok in ts)
+    T = sum(uni.values())
+    pairs = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    P = sum(pairs.values())
+    scored = [
+        (a, b, c, round(math.log2((c / P) / ((uni[a] / T) * (uni[b] / T))), 6))
+        for (a, b), c in pairs.items()
+        if c >= 2
+    ]
+    want = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:5]
+    assert got == want
+    assert ("new", "york") in {(a, b) for a, b, _, _ in got}  # the collocation
+
+
+def test_token_pmi_single_token_docs_contribute_no_pairs(spark):
+    from signal_collect_spark.data.textstats import token_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "alpha beta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    got = token_pmi(docs, k=10, min_count=2).collect()
+    assert len(got) == 1 and (got[0]["a"], got[0]["b"]) == ("alpha", "beta")
