@@ -84,7 +84,7 @@ def maximal_matching(
         .distinct()
         .select("lo", "hi", hk.alias("hk"))
         .repartition(P, "lo", "hi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     decided: list[DataFrame] = []
@@ -132,13 +132,13 @@ def maximal_matching(
                     "lo", "hi", F.lit(False).alias("matched"), F.lit(r).alias("round")
                 )
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         decided.append(new)
         live = (
             live.join(new.select("lo", "hi"), ["lo", "hi"], "left_anti")
             .repartition(P, "lo", "hi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         info.per_step.append({"superstep": r, "wall_ms": None})
 

@@ -71,20 +71,23 @@ def maximal_independent_set(
         .distinct()
     )
     hk = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col("id").cast("string")))
-    # per-round EAGER localCheckpoint on the loop state: the winner set
+    # per-round localCheckpoint on the loop state: the winner set
     # references verts twice and e once, so chained lazily the logical
     # plan grows ~5x per round and the analyzer OOMs near round 8 (the
-    # iterative-join-chain lesson from star CC / the crawler). Old
-    # checkpoint blocks are reclaimed by the ContextCleaner as soon as
-    # the loop drops its reference.
+    # iterative-join-chain lesson from star CC / the crawler).
+    # eager=False — truncation of the LOGICAL plan is what matters;
+    # materialization happens once, on the round's emptiness action,
+    # instead of paying 3 extra setup jobs per round. Old checkpoint
+    # blocks are reclaimed by the ContextCleaner as soon as the loop
+    # drops its reference.
     verts = (
         und.select(F.col("src").alias("id"))
         .distinct()
         .select("id", hk.alias("hk"))
         .repartition(P, "id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    e = und.repartition(P, "dst").localCheckpoint(eager=True)
+    e = und.repartition(P, "dst").localCheckpoint(eager=False)
 
     decided: list[DataFrame] = []
     done_round = 0
@@ -124,19 +127,19 @@ def maximal_independent_set(
             .unionAll(
                 outs.select("id", F.lit("out").alias("status"), F.lit(r).alias("round"))
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         decided.append(new)
         verts = (
             verts.join(new.select("id"), "id", "left_anti")
             .repartition(P, "id")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         e = (
             e.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
             .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
             .repartition(P, "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         info.per_step.append({"superstep": r, "wall_ms": None})
 
