@@ -47,7 +47,20 @@ def butterfly_count(
     counts = co.agg(
         F.count("*").alias("n_pairs"),
         F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("n_wedges"),
-        F.coalesce(F.sum(F.col("weight") * (F.col("weight") - 1) / 2), F.lit(0.0))
+        # per-row w(w-1)/2 in pure long arithmetic: w(w-1) is even and
+        # nonnegative, so shiftright(·, 1) is an exact halving; summing
+        # longs keeps integer exactness past 2^53, where a double sum
+        # would silently round.
+        F.coalesce(
+            F.sum(
+                F.shiftright(
+                    F.col("weight").cast("long")
+                    * (F.col("weight").cast("long") - F.lit(1)),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_butterflies"),
     )

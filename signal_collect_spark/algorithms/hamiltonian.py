@@ -48,19 +48,23 @@ def hamiltonian_paths(
     key. On a graph with a Hamiltonian path, path_len == n for the
     end vertices of such a path.
     """
-    ids = [r["id"] for r in (
+    verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .orderBy("id")
-        .collect()
-    )]
-    n = len(ids)
-    if n > max_vertices:
+    )
+    # guard BEFORE collecting the vertex set: limit(max+1) bounds the
+    # driver materialization to max_vertices+1 rows even on a web-scale
+    # edge table, so an accidental huge input raises loudly instead of
+    # OOMing the driver.
+    probe = verts.limit(max_vertices + 1).collect()
+    if len(probe) > max_vertices:
         raise ValueError(
-            f"{n} vertices: simple-path enumeration is exponential; raise "
-            f"max_vertices (= {max_vertices}) explicitly if you mean it"
+            f"more than {max_vertices} vertices: simple-path enumeration is "
+            f"exponential; raise max_vertices explicitly if you mean it"
         )
+    ids = sorted(r["id"] for r in probe)
+    n = len(ids)
     idx = {v: i for i, v in enumerate(ids)}
     mapping = spark.createDataFrame(
         [(v, i) for v, i in idx.items()], "id long, bit int"

@@ -149,7 +149,9 @@ def maximal_matching(
         out = out.unionAll(d)
     out = out.localCheckpoint(eager=True)
     info.supersteps = done_round
-    info.converged = True
-    info.stop_reason = "converged" if done_round < rounds else "max_steps"
+    # converged means no live edge remains: always true on early break;
+    # on a hit round cap ask the frontier (one extra action, rare case).
+    info.converged = done_round < rounds or live.isEmpty()
+    info.stop_reason = "converged" if info.converged else "max_steps"
     info.wall_seconds = _time.monotonic() - t0
     return out, info

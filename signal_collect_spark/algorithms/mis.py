@@ -150,7 +150,10 @@ def maximal_independent_set(
         out = out.unionAll(d)
     out = out.localCheckpoint(eager=True)
     info.supersteps = done_round
-    info.converged = True
-    info.stop_reason = "converged" if done_round < rounds else "max_steps"
+    # converged means NO vertex is left undecided: always true when the
+    # loop broke early; when the round cap was hit, ask the frontier
+    # (one extra action only in that rare truncated case).
+    info.converged = done_round < rounds or verts.isEmpty()
+    info.stop_reason = "converged" if info.converged else "max_steps"
     info.wall_seconds = _time.monotonic() - t0
     return out, info

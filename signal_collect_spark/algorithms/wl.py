@@ -48,13 +48,24 @@ def wl_colors(
     info = ExecutionInfo()
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst")
+    e_raw = edges.select("src", "dst")
     if undirected:
-        e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.filter(F.col("src") != F.col("dst")).distinct().repartition(P, "dst").persist()
+        e_raw = e_raw.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    # refinement runs on the simple graph (self-loops dropped), but the
+    # vertex set comes from the PRE-filter edges: a vertex whose only
+    # incident edges are self-loops still gets a color row (as an
+    # isolated vertex), matching the oracle's every-vertex convention.
+    e = (
+        e_raw.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(P, "dst")
+        .persist()
+    )
     verts = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
+        e_raw.select(F.col("src").alias("id"))
+        .unionAll(e_raw.select(F.col("dst").alias("id")))
         .distinct()
         .repartition(P, "id")
     )

@@ -68,14 +68,22 @@ def prefix_jaccard_pairs(
         raise ValueError("threshold must be in (0, 1]")
     sets = token_set_arrays(docs, id_col=id_col, text_col=text_col).persist()
     try:
-        # prefix length n − ⌈t·n⌉ + 1
+        # prefix length n − ⌈t·n⌉ + 1.  The ceiling is taken with a small
+        # epsilon guard: when t·n is mathematically an integer but the
+        # double product rounds a hair above it, a bare ceil would
+        # inflate by 1 and shorten the prefix — breaking the
+        # no-false-negative guarantee of the prefix filter.
         prefix = sets.select(
             "id",
             F.explode(
                 F.slice(
                     "tokens",
                     1,
-                    F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+                    F.col("n")
+                    - F.ceil(
+                        F.lit(threshold) * F.col("n") - F.lit(1e-9)
+                    ).cast("int")
+                    + 1,
                 )
             ).alias("tok"),
         )

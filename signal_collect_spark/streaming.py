@@ -246,7 +246,15 @@ def stream_dedup(
     key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
     out = stream.withColumn("content_key", key)
     if out.isStreaming:
-        out = out.withWatermark(ts_col, watermark)
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates only evicts state via the watermark when the
+        # event-time column is part of the key subset — keyed on
+        # content_key alone its state grows without bound. The
+        # WithinWatermark variant bounds state to the watermark horizon
+        # for ANY key subset (Spark 3.5+).
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["content_key"]
+        )
     return out.dropDuplicates(["content_key"])
 
 

@@ -133,8 +133,13 @@ def test_stream_dedup_matches_batch(spark, dup_events_dir):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     ).parquet(dup_events_dir)
+    deduped = ST.stream_dedup(stream, cols)
+    # the streaming branch must use DeduplicateWithinWatermark — plain
+    # Deduplicate keyed on content_key alone never evicts state
+    plan = deduped._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
     q = (
-        ST.stream_dedup(stream, cols)
+        deduped
         .writeStream.format("memory")
         .queryName("dedup_stream")
         .outputMode("append")
