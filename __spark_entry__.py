@@ -3250,6 +3250,205 @@ SELECT k, n_nodes, n_edges,
 FROM rcurve WHERE n_nodes >= 2"""
 
 
+BTW_SOURCES = 4
+BTW_DEPTH = 8
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness (betweenness.py) over the
+    sparse undirected graph from 4 hash-picked pivots, BFS depth <= 8;
+    oracle = the same forward/backward recursion unrolled level by
+    level in SQL."""
+    from signal_collect_spark.algorithms.betweenness import betweenness
+
+    out, _info = betweenness(
+        spark,
+        sparse_edges(spark, sf_dir),
+        n_sources=BTW_SOURCES,
+        max_depth=BTW_DEPTH,
+        undirected=True,
+        num_partitions=8,
+    )
+    return out.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _betweenness_sql() -> str:
+    src_hash = HS.sql_hash60("'btw|' || CAST(id AS VARCHAR)")
+    D = BTW_DEPTH
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "su AS (SELECT DISTINCT src, dst FROM suedges WHERE src <> dst),",
+        f"""srcs AS (SELECT id FROM sverts ORDER BY {src_hash}, id LIMIT {BTW_SOURCES}),
+l0 AS (SELECT id AS source, id, CAST(1.0 AS DOUBLE) AS sigma FROM srcs),
+v0 AS (SELECT source, id FROM l0)""",
+    ]
+    for d in range(1, D + 1):
+        ctes.append(
+            f""",l{d} AS MATERIALIZED (
+  SELECT c.source, c.id, c.sigma FROM (
+    SELECT p.source, e.dst AS id, SUM(p.sigma) AS sigma
+    FROM l{d - 1} p JOIN su e ON e.src = p.id
+    GROUP BY p.source, e.dst) c
+  LEFT JOIN v{d - 1} vis ON vis.source = c.source AND vis.id = c.id
+  WHERE vis.id IS NULL),
+v{d} AS (SELECT * FROM v{d - 1} UNION ALL SELECT source, id FROM l{d})"""
+        )
+    ctes.append(
+        f",d{D} AS (SELECT source, id, sigma, CAST(0.0 AS DOUBLE) AS delta FROM l{D})"
+    )
+    for d in range(D - 1, 0, -1):
+        ctes.append(
+            f""",d{d} AS MATERIALIZED (
+  SELECT l.source, l.id, l.sigma, COALESCE(s.acc, 0.0) AS delta
+  FROM l{d} l LEFT JOIN (
+    SELECT l2.source, l2.id, SUM(l2.sigma / n.sigma * (1.0 + n.delta)) AS acc
+    FROM l{d} l2 JOIN su e ON e.src = l2.id
+    JOIN d{d + 1} n ON n.source = l2.source AND n.id = e.dst
+    GROUP BY l2.source, l2.id) s
+  ON s.source = l.source AND s.id = l.id)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT id, delta FROM d{d}" for d in range(1, D + 1)
+    )
+    ctes.append(
+        f"""
+SELECT id, ROUND(SUM(delta) * 0.5, 6) AS betweenness
+FROM ({union}) GROUP BY id"""
+    )
+    return "\n".join(ctes)
+
+
+N2V_P = 2.0
+N2V_Q = 0.5
+_N2V_FRAC = 1 << 40
+
+
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-biased deterministic walks over the dense directed
+    graph (walks.py node2vec_walks, p=2 q=0.5 — exact power-of-two
+    biases so the SQL oracle's fold replays bit-identically)."""
+    from signal_collect_spark.algorithms.walks import node2vec_walks
+
+    out, _ = node2vec_walks(
+        spark,
+        dense_edges(spark, sf_dir),
+        walk_len=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        p=N2V_P,
+        q=N2V_Q,
+        hash_fn="portable",
+        num_partitions=8,
+    )
+    return out
+
+
+def _node2vec_sql() -> str:
+    ret_w, out_w = 1.0 / N2V_P, 1.0 / N2V_Q
+    FRAC = _N2V_FRAC
+
+    def hop_hash(t: int) -> str:
+        return HS.sql_hash60(
+            f"'n2v|' || CAST(s.walk AS VARCHAR) || '|{t}|' || CAST(s.vertex AS VARCHAR)"
+        )
+
+    hops = []
+    if WALK_LEN >= 1:
+        hops.append(
+            f"""s1 AS (
+  SELECT s.start_id, s.walk, 1 AS step,
+         list_extract(a.nbrs, CAST(1 + ({hop_hash(1)} % a.deg) AS INT)) AS vertex,
+         s.vertex AS prev
+  FROM s0 s JOIN adj a ON a.src = s.vertex)"""
+        )
+    for t in range(2, WALK_LEN + 1):
+        hops.append(
+            f"""s{t} AS (
+  SELECT start_id, walk, {t} AS step,
+         list_extract(nbrs, CAST(LEAST(deg,
+           len(list_filter(range(1, CAST(deg AS INT) + 1),
+                           i -> CAST(list_sum(list_slice(alphas, 1, i)) AS DOUBLE) <= thresh)) + 1)
+         AS INT)) AS vertex,
+         cur AS prev
+  FROM (
+    SELECT x.*,
+           (CAST(h % {FRAC} AS DOUBLE) / {float(FRAC)}) * CAST(list_sum(alphas) AS DOUBLE) AS thresh
+    FROM (
+      SELECT s.start_id, s.walk, s.vertex AS cur, a.nbrs, a.deg,
+             list_transform(a.nbrs, n -> CASE
+               WHEN n = s.prev THEN CAST({ret_w} AS DOUBLE)
+               WHEN list_contains(pa.nbrs, n) THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST({out_w} AS DOUBLE) END) AS alphas,
+             {hop_hash(t)} AS h
+      FROM s{t - 1} s
+      JOIN adj a ON a.src = s.vertex
+      JOIN adj pa ON pa.src = s.prev) x) y)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT start_id, walk, step, vertex FROM s{t}"
+        for t in range(WALK_LEN + 1)
+    )
+    walk_ids = ", ".join(str(i) for i in range(WALKS_PER_VERTEX))
+    body = (",\n" + ",\n".join(hops)) if hops else ""
+    return f"""WITH {_DENSE_SQL.strip()},
+adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs, count(*)::BIGINT AS deg
+        FROM dedges GROUP BY src),
+w AS (SELECT id AS start_id, CAST(r AS BIGINT) AS walk
+      FROM dverts, (SELECT unnest([{walk_ids}]) AS r)),
+s0 AS (SELECT start_id, walk, 0 AS step, start_id AS vertex,
+              CAST(NULL AS BIGINT) AS prev FROM w){body}
+SELECT start_id, CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
+       CAST(vertex AS BIGINT) AS vertex
+FROM ({union})"""
+
+
+def _q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes self-train/classify on the documents
+    table with `lang` as the label (data/classify.py) — the
+    CCNet/fastText-style closed-form corpus classifier; oracle = the
+    identical count arithmetic in SQL."""
+    from signal_collect_spark.data.classify import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cs, tl = naive_bayes_train(docs, label_col="lang", text_col="text")
+    return naive_bayes_classify(docs, cs, tl, id_col="doc_id", text_col="text")
+
+
+_NB_LANG_SQL = """
+WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+ltoks AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+counts AS (SELECT label, tok, COUNT(*) AS c FROM ltoks GROUP BY label, tok),
+ltot AS (SELECT label, SUM(c) AS tot FROM counts GROUP BY label),
+voc AS (SELECT COUNT(DISTINCT tok) AS V FROM counts),
+nd AS (SELECT lang AS label, COUNT(*) AS n FROM documents GROUP BY lang),
+nt AS (SELECT SUM(n) AS N FROM nd),
+cls AS (SELECT nd.label,
+               ln(nd.n::DOUBLE / nt.N::DOUBLE) AS log_prior,
+               ln(1.0 / (lt.tot::DOUBLE + voc.V::DOUBLE)) AS default_logp
+        FROM nd JOIN ltot lt ON lt.label = nd.label
+        CROSS JOIN nt CROSS JOIN voc),
+tlp AS (SELECT c.label, c.tok,
+               ln((c.c::DOUBLE + 1.0) / (lt.tot::DOUBLE + voc.V::DOUBLE)) AS logp
+        FROM counts c JOIN ltot lt ON lt.label = c.label CROSS JOIN voc),
+scored AS (
+  SELECT t.id, cl.label, cl.log_prior,
+         cl.log_prior + SUM(COALESCE(tl.logp, cl.default_logp)) AS score
+  FROM toks t CROSS JOIN cls cl
+  LEFT JOIN tlp tl ON tl.label = cl.label AND tl.tok = t.tok
+  GROUP BY t.id, cl.label, cl.log_prior)
+SELECT id, label AS pred, ROUND(score, 6) AS score
+FROM (SELECT id, label, score,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY score DESC, label ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -3321,6 +3520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "degree_distribution": _q_degree_distribution,
         "graph_stats": _q_graph_stats,
+        # --- r5-session additions (positions 53-55: behind the 50-cap
+        # by design — parity-checked via scripts/oracle_parity.py) ----
+        "betweenness": _q_betweenness,
+        "node2vec_walks": _q_node2vec,
+        "nb_lang_classify": _q_nb_lang,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -3615,4 +3819,7 @@ FROM sverts""",
         "temporal_reachability": _temporal_sql(),
         "wl_colors": _wl_colors_sql(),
         "rich_club": _rich_club_sql(),
+        "betweenness": _betweenness_sql(),
+        "node2vec_walks": _node2vec_sql(),
+        "nb_lang_classify": _NB_LANG_SQL,
     }

@@ -214,3 +214,225 @@ def random_walks(
     info.supersteps = walk_len
     info.wall_seconds = _time.monotonic() - t0
     return out, info
+
+
+def node2vec_walks(
+    spark,
+    edges: DataFrame,
+    *,
+    walk_len: int = 4,
+    walks_per_vertex: int = 1,
+    p: float = 2.0,
+    q: float = 0.5,
+    starts: DataFrame | None = None,
+    seed: str = "n2v|",
+    hash_fn: str = "portable",
+    max_degree: int = 100_000,
+    num_partitions: int | str | None = None,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Deterministic node2vec-biased walks (Grover & Leskovec, KDD'16).
+
+    Like :func:`random_walks`, but from the second hop on the next-hop
+    distribution is biased by where the walk CAME from: candidate
+    neighbor ``x`` of the current vertex ``v`` reached from ``prev``
+    gets unnormalized weight
+
+        1/p  if x == prev                      (return)
+        1    if (prev, x) is an edge           (stay near: distance 1)
+        1/q  otherwise                         (explore: distance 2)
+
+    — the in-out/return bias behind node2vec's BFS<->DFS interpolation.
+    Low ``p`` keeps walks local (backtracking), low ``q`` pushes them
+    outward. The first hop is uniform (no ``prev`` yet), identical to
+    :func:`random_walks`. The distance-1 test uses the DIRECTED
+    out-neighborhood of ``prev`` (symmetrize the edge set first for the
+    paper's undirected semantics).
+
+    Determinism: the hop at step t picks the first neighbor (sorted by
+    id) whose left-folded cumulative bias weight exceeds
+    ``(H(seed||walk||'|'||t||'|'||vertex) mod 2^40)/2^40 x total`` — a
+    pure function, replayed exactly by the SQL oracle. With ``1/p`` and
+    ``1/q`` powers of two (the 2.0/0.5 defaults) every partial sum is
+    an exact double, so the replay is bit-identical REGARDLESS of the
+    oracle engine's summation order; other biases are last-ulp-boundary
+    safe only under left-fold order (documented, not default).
+
+    Scale shape: adjacency packs once (one shuffle, persisted on src);
+    each hop is TWO joins against that cached table — current vertex
+    and prev vertex — plus expression-only bias/fold arithmetic over
+    the packed neighbor array (no explode, no Python). A hub of degree
+    d costs O(d * deg(prev)) membership tests inside whole-stage
+    codegen; ``max_degree`` bounds the packed row exactly as in
+    :func:`random_walks`.
+    """
+    if walk_len < 0:
+        raise ValueError("walk_len must be >= 0")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec p and q must be > 0")
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = _time.monotonic()
+    info = ExecutionInfo()
+    ret_w = 1.0 / p
+    out_w = 1.0 / q
+
+    pairs = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = (
+        pairs.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .select("src", "nbrs", F.size("nbrs").cast("long").alias("deg"))
+        .repartition(P, "src")
+        .persist()
+    )
+    worst = adj.agg(F.max("deg")).first()[0] or 0
+    if worst > max_degree:
+        adj.unpersist()
+        raise ValueError(
+            f"node2vec_walks: max out-degree {worst} exceeds max_degree="
+            f"{max_degree}; pre-cap hub adjacency before walking, or "
+            "raise max_degree"
+        )
+
+    if starts is None:
+        starts = (
+            pairs.select(F.col("src").alias("id"))
+            .union(pairs.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    frontier = (
+        starts.select(F.col("id").cast("long").alias("start_id"))
+        .withColumn(
+            "walk",
+            F.explode(
+                F.array(
+                    *[F.lit(i).cast("long") for i in range(walks_per_vertex)]
+                )
+            ),
+        )
+        .select("start_id", "walk", F.col("start_id").alias("vertex"))
+        .repartition(P, "vertex")
+    )
+
+    def hop_key(t: int):
+        return hash_fn_column(
+            hash_fn,
+            F.concat(
+                F.lit(seed),
+                F.col("walk").cast("string"),
+                F.lit("|"),
+                F.lit(str(t)),
+                F.lit("|"),
+                F.col("vertex").cast("string"),
+            ),
+        )
+
+    cur = frontier.select(
+        "start_id",
+        "walk",
+        F.lit(0).cast("int").alias("step"),
+        "vertex",
+        F.lit(None).cast("long").alias("prev"),
+    ).localCheckpoint(eager=True)
+    traces = [cur.select("start_id", "walk", "step", "vertex")]
+    for t in range(1, walk_len + 1):
+        if t == 1:
+            # uniform first hop: no prev to bias by
+            pick = F.element_at(
+                F.col("nbrs"), (F.pmod(hop_key(t), F.col("deg")) + 1).cast("int")
+            )
+            stepped = (
+                cur.join(adj, cur["vertex"] == adj["src"])
+                .select(
+                    "start_id",
+                    "walk",
+                    F.lit(t).cast("int").alias("step"),
+                    pick.alias("new_vertex"),
+                    cur["vertex"].alias("prev"),
+                )
+                .withColumnRenamed("new_vertex", "vertex")
+                .select("start_id", "walk", "step", "vertex", "prev")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            pa = adj.select(
+                F.col("src").alias("__pa_src"), F.col("nbrs").alias("__pa_nbrs")
+            )
+            joined = (
+                cur.join(adj, cur["vertex"] == adj["src"])
+                .join(pa, cur["prev"] == F.col("__pa_src"))
+                .withColumn(
+                    "__alphas",
+                    F.transform(
+                        F.col("nbrs"),
+                        lambda n: F.when(n == F.col("prev"), F.lit(ret_w))
+                        .when(
+                            F.exists(
+                                F.col("__pa_nbrs"), lambda m: m == n
+                            ),
+                            F.lit(1.0),
+                        )
+                        .otherwise(F.lit(out_w)),
+                    ),
+                )
+                .withColumn(
+                    "__thresh",
+                    (
+                        F.pmod(hop_key(t), F.lit(FRAC_MOD)).cast("double")
+                        / F.lit(float(FRAC_MOD))
+                    )
+                    * F.aggregate(
+                        F.col("__alphas"), F.lit(0.0), lambda a, x: a + x
+                    ),
+                )
+                .withColumn(
+                    "__pick",
+                    F.least(
+                        F.col("deg"),
+                        F.aggregate(
+                            F.col("__alphas"),
+                            F.struct(
+                                F.lit(0.0).alias("cum"),
+                                F.lit(0).cast("long").alias("cnt"),
+                            ),
+                            lambda acc, x: F.struct(
+                                (acc["cum"] + x).alias("cum"),
+                                (
+                                    acc["cnt"]
+                                    + F.when(
+                                        acc["cum"] + x <= F.col("__thresh"),
+                                        F.lit(1),
+                                    )
+                                    .otherwise(F.lit(0))
+                                    .cast("long")
+                                ).alias("cnt"),
+                            ),
+                            lambda acc: acc["cnt"],
+                        )
+                        + F.lit(1),
+                    ),
+                )
+            )
+            stepped = joined.select(
+                "start_id",
+                "walk",
+                F.lit(t).cast("int").alias("step"),
+                F.element_at(F.col("nbrs"), F.col("__pick").cast("int")).alias(
+                    "vertex"
+                ),
+                cur["vertex"].alias("prev"),
+            ).localCheckpoint(eager=True)
+        info.per_step.append({"step": t, "rows": stepped.count()})
+        traces.append(stepped.select("start_id", "walk", "step", "vertex"))
+        cur = stepped
+    out = traces[0]
+    for tr in traces[1:]:
+        out = out.union(tr)
+    adj.unpersist()
+    info.supersteps = walk_len
+    info.wall_seconds = _time.monotonic() - t0
+    return out, info
