@@ -3449,6 +3449,105 @@ WHERE rn = 1
 """
 
 
+LMK_COUNT = 4
+LMK_DEPTH = 8
+
+
+def _q_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance sketch (landmarks.py, Das Sarma WSDM'10) over
+    the sparse undirected graph: BFS hop distances from 4 hash-picked
+    pivots; oracle = the same multi-source BFS unrolled per level."""
+    from signal_collect_spark.algorithms.landmarks import landmark_distances
+
+    out, _info = landmark_distances(
+        spark,
+        sparse_edges(spark, sf_dir),
+        n_landmarks=LMK_COUNT,
+        max_depth=LMK_DEPTH,
+        undirected=True,
+        num_partitions=8,
+    )
+    return out
+
+
+def _landmarks_sql() -> str:
+    lm_hash = HS.sql_hash60("'lmk|' || CAST(id AS VARCHAR)")
+    D = LMK_DEPTH
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "su AS (SELECT DISTINCT src, dst FROM suedges WHERE src <> dst),",
+        f"""lms AS (SELECT id FROM sverts ORDER BY {lm_hash}, id LIMIT {LMK_COUNT}),
+f0 AS (SELECT id AS landmark, id, 0 AS dist FROM lms),
+o0 AS (SELECT * FROM f0)""",
+    ]
+    for d in range(1, D + 1):
+        ctes.append(
+            f""",f{d} AS MATERIALIZED (
+  SELECT c.landmark, c.id, {d} AS dist FROM (
+    SELECT DISTINCT f.landmark, e.dst AS id
+    FROM f{d - 1} f JOIN su e ON e.src = f.id) c
+  LEFT JOIN o{d - 1} o ON o.landmark = c.landmark AND o.id = c.id
+  WHERE o.id IS NULL),
+o{d} AS (SELECT * FROM o{d - 1} UNION ALL SELECT * FROM f{d})"""
+        )
+    ctes.append(
+        f"""
+SELECT id, landmark, CAST(dist AS INT) AS dist FROM o{D}"""
+    )
+    return "\n".join(ctes)
+
+
+IC_SEEDS = 4
+IC_PROB = 0.3
+IC_ROUNDS = 8
+
+
+def _q_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic independent-cascade influence spread (cascade.py,
+    Kempe-Kleinberg-Tardos KDD'03 live-edge form) over the dense
+    directed graph from 4 hash-picked seeds at p=0.3; oracle = BFS over
+    the identically coin-flipped live-edge subgraph, unrolled."""
+    from signal_collect_spark.algorithms.cascade import independent_cascade
+
+    out, _info = independent_cascade(
+        spark,
+        dense_edges(spark, sf_dir),
+        n_seeds=IC_SEEDS,
+        prob=IC_PROB,
+        max_rounds=IC_ROUNDS,
+        num_partitions=8,
+    )
+    return out
+
+
+def _cascade_sql() -> str:
+    FRAC = 1 << 40
+    coin = HS.sql_hash60(
+        "'ic|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)"
+    )
+    seed_hash = HS.sql_hash60("'ic|s|' || CAST(id AS VARCHAR)")
+    R = IC_ROUNDS
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        f"""live AS (SELECT src, dst FROM dedges
+        WHERE CAST({coin} % {FRAC} AS DOUBLE) / {float(FRAC)} < CAST({IC_PROB} AS DOUBLE)),
+seeds AS (SELECT id FROM dverts ORDER BY {seed_hash}, id LIMIT {IC_SEEDS}),
+f0 AS (SELECT id, 0 AS round FROM seeds),
+a0 AS (SELECT * FROM f0)""",
+    ]
+    for r in range(1, R + 1):
+        ctes.append(
+            f""",f{r} AS MATERIALIZED (
+  SELECT c.id, {r} AS round FROM (
+    SELECT DISTINCT e.dst AS id FROM f{r - 1} f JOIN live e ON e.src = f.id) c
+  LEFT JOIN a{r - 1} a ON a.id = c.id
+  WHERE a.id IS NULL),
+a{r} AS (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM f{r})"""
+        )
+    ctes.append(f"\nSELECT id, CAST(round AS INT) AS round FROM a{R}")
+    return "\n".join(ctes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -3525,6 +3624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "node2vec_walks": _q_node2vec,
         "nb_lang_classify": _q_nb_lang,
+        "landmark_distances": _q_landmarks,
+        "influence_cascade": _q_cascade,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -3822,4 +3923,6 @@ FROM sverts""",
         "betweenness": _betweenness_sql(),
         "node2vec_walks": _node2vec_sql(),
         "nb_lang_classify": _NB_LANG_SQL,
+        "landmark_distances": _landmarks_sql(),
+        "influence_cascade": _cascade_sql(),
     }
