@@ -3559,11 +3559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # are listed least-recently-driver-checked FIRST. Rounds 1-4 left
     # the oldest entries at the top every round, which meant the 52
     # entries below position 50 never earned a driver-side green row
-    # (they were judge-parity-checked only). This round rotates: the 52
-    # never-driver-checked queries lead; degree_distribution and
-    # graph_stats sit at positions 51-52 (their near-identical siblings
-    # degree_topk and vertex_stats already hold driver green rows); the
-    # 50 queries with CORRECTNESS_r04 green rows follow.
+    # (they were judge-parity-checked only). This round rotates: the
+    # never-driver-checked queries lead, with the five r5-session
+    # additions slotted inside the top-50 window (brand-new code gets
+    # the hard signal first); the displaced parity-green entries sit at
+    # 51-57, and the 50 queries with CORRECTNESS_r04 green rows follow.
     return {
         # --- never driver-checked (web_crawl/sessions/embedding_neardup
         # were r3-green but displaced by r4 insertions) ----------------
@@ -3612,6 +3612,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": _q_label_spreading,
         "butterflies": _q_butterflies,
         "codegraph_edges": _q_codegraph_edges,
+        # --- r5-session additions at positions 46-50: brand-new code
+        # gets the driver's hard signal first; the five displaced
+        # queries below (codegraph_sha256/packages, temporal, wl_colors,
+        # rich_club) all hold r4 judge-parity green rows already ------
+        "betweenness": _q_betweenness,
+        "node2vec_walks": _q_node2vec,
+        "nb_lang_classify": _q_nb_lang,
+        "landmark_distances": _q_landmarks,
+        "influence_cascade": _q_cascade,
+        # --- parity-checked (scripts/oracle_parity.py + r4 judge) ----
         "codegraph_sha256": _q_codegraph_sha256,
         "codegraph_packages": _q_codegraph_packages,
         "temporal_reachability": _q_temporal,
@@ -3619,13 +3629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "degree_distribution": _q_degree_distribution,
         "graph_stats": _q_graph_stats,
-        # --- r5-session additions (positions 53-55: behind the 50-cap
-        # by design — parity-checked via scripts/oracle_parity.py) ----
-        "betweenness": _q_betweenness,
-        "node2vec_walks": _q_node2vec,
-        "nb_lang_classify": _q_nb_lang,
-        "landmark_distances": _q_landmarks,
-        "influence_cascade": _q_cascade,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
