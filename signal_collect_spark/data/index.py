@@ -41,6 +41,86 @@ def postings(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 (Robertson & Walker, SIGIR'94) top-``k`` documents
+    per term — the retrieval-grade ranking the inverted index feeds
+    (:func:`inverted_index` stores WHERE a term occurs; this ranks
+    HOW WELL each document matches it):
+
+        bm25(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t)     = ln( (N - df + 0.5) / (df + 0.5) + 1 )      (Lucene form)
+
+    with tf the term count in d, dl the document token length, avgdl
+    the corpus mean length, N the corpus size, df the term's document
+    frequency. Terms with df < ``min_df`` are dropped. Returns
+    DataFrame[term, df, id, bm25] — the top-``k`` docs per surviving
+    term, bm25 rounded to 6 dp BEFORE the cut (ties broken by id
+    ascending) so the boundary is decided on the same grid in every
+    engine.
+
+    Scale shape: one explode → (id, term, tf) count with map-side
+    partial combine; df is a second aggregate over the same relation;
+    N/avgdl is one broadcast scalar row; the per-term top-k is a
+    row_number window — sort-based and spillable, cap applied BEFORE
+    any materialization, so a stopword-grade term costs a sort of its
+    postings, never an array. All JVM expressions, no Python.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = docs.agg(F.count("*").alias("N")).crossJoin(
+        dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= int(min_df)
+    )
+    scored = (
+        tf.join(df_tab, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            "id",
+            F.round(
+                F.log(
+                    (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), F.col("id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     *,

@@ -131,6 +131,70 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    *,
+    stride: int | None = None,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    standard context-window chunking step of a training/RAG pipeline
+    (:func:`pack_sequences` decides where documents land in the packed
+    stream; this op cuts each document itself into model-sized pieces
+    first).
+
+    Windows start every ``stride`` tokens (default: ``size``, i.e.
+    non-overlapping; stride < size yields the classic sliding overlap)
+    and hold ``size`` tokens each, except the final window which keeps
+    the tail (dropped when shorter than ``min_tokens``). Tokens are the
+    corpus convention: whitespace-split.
+
+    Returns DataFrame[id, chunk_idx, start_tok, n_tokens, chunk_text]
+    with chunk_idx 0-based in document order. Empty documents emit no
+    chunks.
+
+    Scale shape: expression-only — one ``sequence``/``posexplode`` per
+    document (fan-out = ceil(n/stride), bounded and proportional to
+    output size, never quadratic) and a ``slice`` + ``array_join`` per
+    window; no shuffle at all beyond the parent scan's partitioning,
+    no windows, no Python. A 100 TB corpus chunks embarrassingly
+    parallel in the scan stage.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    stride = size if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    if min_tokens < 1 or min_tokens > size:
+        raise ValueError("min_tokens must be in [1, size]")
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("__ts"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    chunks = base.select(
+        "id",
+        "__ts",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        ).alias("chunk_idx", "start_tok"),
+    ).select(
+        "id",
+        "chunk_idx",
+        "start_tok",
+        F.slice(F.col("__ts"), F.col("start_tok") + 1, F.lit(size)).alias("__w"),
+    )
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        "start_tok",
+        F.size("__w").alias("n_tokens"),
+        F.array_join("__w", " ").alias("chunk_text"),
+    ).filter(F.col("n_tokens") >= min_tokens)
+
+
 def mix_corpus(
     docs: DataFrame,
     weights: dict[str, float],

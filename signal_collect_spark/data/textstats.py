@@ -360,6 +360,90 @@ def unigram_xent(
     )
 
 
+def bigram_xent(
+    docs: DataFrame,
+    *,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_pairs, xent_bits): per-document cross-entropy in bits
+    under the corpus's OWN add-k-smoothed bigram model — the next LM
+    order above :func:`unigram_xent` in the CCNet/Gopher filtering
+    family, sensitive to scrambled word ORDER that a unigram model
+    cannot see (bag-of-words gibberish scores normal on unigrams but
+    high here):
+
+        xent(d) = -(1/(|d|-1)) * SUM_i log2 p(t_i | t_{i-1})
+        p(b|a)  = (c_ab + k) / (c_a + k * V)
+
+    with c_ab the corpus adjacent-pair count, c_a the unigram count of
+    the CONTEXT token, V the vocabulary size, k = ``add_k`` (Laplace
+    for k=1; 0.5 is the classic Jeffreys choice). Every scored pair
+    was seen at least once by construction (self-trained), but
+    smoothing is still required so held-out use of the same model is
+    well-defined. Documents with fewer than 2 tokens have no pairs and
+    report n_pairs = 0, xent_bits NULL.
+
+    Scale shape: one adjacent-pair explode (``arrays_zip`` over two
+    slices — no positional self-join), ONE map-side-combined pair
+    count, one unigram count, a pair-keyed and a context-keyed hash
+    join (stop-token context keys are heavy → AQE skew handling,
+    engine default), one broadcast scalar (V), and a per-doc aggregate
+    with partial combine. No windows, no Python, no collect.
+    """
+    ts = _tokens(text_col)
+    dpairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.arrays_zip(
+                F.expr(
+                    f"slice(split({text_col}, ' '), 1, "
+                    f"greatest(size(split({text_col}, ' ')) - 1, 0))"
+                ).alias("a"),
+                F.expr(
+                    f"slice(split({text_col}, ' '), 2, "
+                    f"greatest(size(split({text_col}, ' ')) - 1, 0))"
+                ).alias("b"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pair_c = dpairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    uni = (
+        docs.select(F.explode(ts).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vocab = uni.agg(F.count("*").alias("V"))
+    scored = (
+        dpairs.join(pair_c, ["a", "b"])
+        .join(uni.withColumnRenamed("tok", "a"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                -F.avg(
+                    F.log2(
+                        (F.col("c_ab") + F.lit(add_k))
+                        / (F.col("c_a") + F.lit(add_k) * F.col("V"))
+                    )
+                ),
+                6,
+            ).alias("xent_bits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            "xent_bits",
+        )
+    )
+
+
 def token_pmi(
     docs: DataFrame,
     k: int = 50,
