@@ -3772,6 +3772,109 @@ FROM win WHERE len(w) >= {CHUNK_MIN}
 """
 
 
+CLS_SOURCES = 4
+CLS_DEPTH = 8
+CLS_TOPK = 50
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness (landmarks.py closeness_topk,
+    Eppstein-Wang SODA'01) on the sparse undirected graph: 4
+    hash-picked pivots, vertices reached by all 4 ranked by
+    n_sources/sum_dist — sum_dist is an exact long, so the 9-dp
+    rounded score grid and the id tie-break cut identically in both
+    engines."""
+    from signal_collect_spark.algorithms.landmarks import closeness_topk
+
+    return closeness_topk(
+        spark,
+        sparse_edges(spark, sf_dir),
+        k=CLS_TOPK,
+        n_sources=CLS_SOURCES,
+        max_depth=CLS_DEPTH,
+        undirected=True,
+        num_partitions=8,
+    )
+
+
+def _closeness_sql() -> str:
+    lm_hash = HS.sql_hash60("'cls|' || CAST(id AS VARCHAR)")
+    D = CLS_DEPTH
+    ctes = [
+        f"WITH {_SPARSE_SQL.strip()},",
+        "su AS (SELECT DISTINCT src, dst FROM suedges WHERE src <> dst),",
+        f"""lms AS (SELECT id FROM sverts ORDER BY {lm_hash}, id LIMIT {CLS_SOURCES}),
+f0 AS (SELECT id AS landmark, id, 0 AS dist FROM lms),
+o0 AS (SELECT * FROM f0)""",
+    ]
+    for d in range(1, D + 1):
+        ctes.append(
+            f""",f{d} AS MATERIALIZED (
+  SELECT c.landmark, c.id, {d} AS dist FROM (
+    SELECT DISTINCT f.landmark, e.dst AS id
+    FROM f{d - 1} f JOIN su e ON e.src = f.id) c
+  LEFT JOIN o{d - 1} o ON o.landmark = c.landmark AND o.id = c.id
+  WHERE o.id IS NULL),
+o{d} AS (SELECT * FROM o{d - 1} UNION ALL SELECT * FROM f{d})"""
+        )
+    ctes.append(
+        f"""
+SELECT id, sum_dist,
+       ROUND(CAST({CLS_SOURCES} AS DOUBLE) / sum_dist, 9) AS closeness
+FROM (SELECT id, SUM(dist)::BIGINT AS sum_dist, COUNT(*) AS nr
+      FROM o{D} GROUP BY id)
+WHERE nr = {CLS_SOURCES} AND sum_dist > 0
+ORDER BY closeness DESC, id LIMIT {CLS_TOPK}"""
+    )
+    return "\n".join(ctes)
+
+
+EFFDIAM_T = NF_T
+EFFDIAM_Q = 0.9
+
+
+def _q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HADI-style distance summary (neighborhood.py effective_diameter,
+    Kang ICDM'08) on the dense UNDIRECTED graph: 0.9-effective diameter
+    (integer + interpolated) and mean pairwise distance off the exact
+    neighborhood function — all ratios of exact longs on a 6-dp grid."""
+    from signal_collect_spark.algorithms.neighborhood import effective_diameter
+
+    return effective_diameter(
+        spark, dense_edges(spark, sf_dir), EFFDIAM_T, q=EFFDIAM_Q, directed=False
+    )
+
+
+def _effdiam_sql() -> str:
+    return f"""WITH RECURSIVE {_DENSE_SQL.strip()},
+uedges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges),
+reach(v, u, dist) AS (
+  SELECT id, id, 0 FROM dverts
+  UNION
+  SELECT r.v, e.dst, r.dist + 1
+  FROM reach r JOIN uedges e ON e.src = r.u WHERE r.dist < {EFFDIAM_T}),
+md AS (SELECT v, u, MIN(dist) AS d FROM reach GROUP BY v, u),
+nf AS (SELECT CAST(gs.t AS INT) AS t,
+              (SELECT COUNT(*) FROM md WHERE md.d <= gs.t)::BIGINT AS nf
+       FROM generate_series(0, {EFFDIAM_T}) gs(t)),
+tot AS (SELECT MAX(nf) AS n_pairs FROM nf),
+lagged AS (SELECT t, nf, LAG(nf) OVER (ORDER BY t) AS prev FROM nf),
+hit AS (SELECT lagged.t, lagged.nf, lagged.prev, tot.n_pairs
+        FROM lagged, tot
+        WHERE lagged.nf::DOUBLE >= CAST({EFFDIAM_Q} AS DOUBLE) * tot.n_pairs
+        ORDER BY lagged.t LIMIT 1),
+mean_d AS (
+  SELECT SUM(t * c)::DOUBLE / SUM(c) AS m FROM (
+    SELECT t, nf - COALESCE(LAG(nf) OVER (ORDER BY t), 0) AS c FROM nf)
+  WHERE t >= 1)
+SELECT hit.n_pairs, hit.t AS d_q,
+       ROUND(CASE WHEN hit.t = 0 THEN 0.0
+             ELSE hit.t - 1 + (CAST({EFFDIAM_Q} AS DOUBLE) * hit.n_pairs - hit.prev)
+                  / (hit.nf - hit.prev) END, 6) AS d_q_interp,
+       ROUND(mean_d.m, 6) AS mean_dist
+FROM hit, mean_d"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -3862,6 +3965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bigram_xent": _q_bigram_xent,
         "chunk_documents": _q_chunk_documents,
+        "closeness_topk": _q_closeness,
+        "effective_diameter": _q_effective_diameter,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -4168,4 +4273,6 @@ FROM sverts""",
         "bm25_topk": _BM25_SQL,
         "bigram_xent": _BIGRAM_XENT_SQL,
         "chunk_documents": _CHUNK_SQL,
+        "closeness_topk": _closeness_sql(),
+        "effective_diameter": _effdiam_sql(),
     }

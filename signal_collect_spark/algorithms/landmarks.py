@@ -127,3 +127,75 @@ def landmark_distances(
     info.stop_reason = "converged" if info.converged else "max_steps"
     info.wall_seconds = _time.monotonic() - t0
     return result, info
+
+
+def closeness_topk(
+    spark,
+    edges: DataFrame,
+    *,
+    k: int = 20,
+    n_sources: int = 8,
+    max_depth: int = 16,
+    undirected: bool = True,
+    seed: str = "cls|",
+    hash_fn: str = "portable",
+    num_partitions: int | str | None = None,
+) -> DataFrame:
+    """Sampled-source closeness centrality (Eppstein & Wang, SODA'01
+    "Fast approximation of centrality"): estimate each vertex's
+    closeness from BFS distances to ``n_sources`` hash-chosen pivots —
+    the same k x |V| sketch :func:`landmark_distances` builds, read
+    column-wise instead of row-wise.
+
+    Estimator: for a vertex v reached by ALL ``n_sources`` pivots,
+
+        closeness_hat(v) = n_sources / SUM_s d(v, s)
+
+    (the reciprocal mean pivot distance; Eppstein-Wang's n/(n-1)-style
+    population rescale is a constant factor that cancels under top-k
+    ranking, so the simple reciprocal form is reported). Vertices not
+    reached by every pivot within ``max_depth`` are excluded — the
+    partial sums are not comparable (a vertex missing its FARTHEST
+    pivot would look more central, not less). Pivots themselves are
+    ranked too (their own 0 term is part of the sum).
+
+    Returns the top-``k`` DataFrame[id, sum_dist, closeness] ranked by
+    the 9-dp-rounded score (ties by id ascending) — both engines cut
+    on the same grid; sum_dist is an exact long so the division is
+    bit-identical.
+
+    Scale shape: everything :func:`landmark_distances` does (edges
+    shuffle once, k x |V| bounded state, per-level keyed-min join) plus
+    ONE groupBy(id) with a count-filter and a TakeOrdered top-k — no
+    window, no Python. Error bound (Eppstein-Wang thm 1): with
+    k = Theta(log n / eps^2) pivots the estimate is within eps * diameter
+    whp; n_sources is that knob.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sketch, _info = landmark_distances(
+        spark,
+        edges,
+        n_landmarks=n_sources,
+        max_depth=max_depth,
+        undirected=undirected,
+        seed=seed,
+        hash_fn=hash_fn,
+        num_partitions=num_partitions,
+    )
+    full = (
+        sketch.groupBy("id")
+        .agg(
+            F.count("*").alias("__n_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .filter(
+            (F.col("__n_reached") == F.lit(n_sources)) & (F.col("sum_dist") > 0)
+        )
+    )
+    scored = full.select(
+        "id",
+        "sum_dist",
+        F.round(F.lit(float(n_sources)) / F.col("sum_dist"), 9).alias("closeness"),
+    )
+    return scored.orderBy(F.col("closeness").desc(), F.col("id")).limit(k)

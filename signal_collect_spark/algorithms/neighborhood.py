@@ -127,6 +127,87 @@ def neighborhood_function(
     )
 
 
+def effective_diameter(
+    spark,
+    edges: DataFrame,
+    max_t: int,
+    *,
+    q: float = 0.9,
+    directed: bool = False,
+) -> DataFrame:
+    """One-row DataFrame[n_pairs, d_q, d_q_interp, mean_dist] — the
+    HADI / snap-style distance summary read off the neighborhood
+    function (Kang et al., ICDM'08 "HADI: radii and diameters of
+    massive graphs"):
+
+    - ``d_q``: the smallest hop count t with NF(t) >= q * NF(max_t)
+      (the q-effective diameter, q = 0.9 by convention),
+    - ``d_q_interp``: its standard linear interpolation between
+      NF(d_q - 1) and NF(d_q) — the fractional form papers report,
+    - ``mean_dist``: the mean pairwise distance over reachable pairs
+      with d >= 1 (from the NF deltas),
+    - ``n_pairs``: NF(max_t), the reachable-pair count the quantile is
+      taken against (max_t must be >= the true diameter for the exact
+      figure; truncation makes it the <=max_t-conditional summary).
+
+    Fractions are exact-long ratios rounded to 6 dp, so both engines
+    land on the same grid. Scale note: this exact tier shares
+    :func:`distance_pairs`'s O(V^2)-pairs validation scope; at link-
+    graph scale the same read-out applies verbatim to
+    :func:`hyperball_harmonic`'s HLL ball sizes (NF estimated, not
+    enumerated), which is the 100 TB path.
+    """
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    nf = neighborhood_function(spark, edges, max_t, directed=directed)
+    from pyspark.sql import Window as W
+
+    total = nf.agg(F.max("nf").alias("n_pairs"))
+    wl = W.orderBy("t")
+    rows = (
+        nf.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "nf",
+            "n_pairs",
+            F.lag("nf").over(wl).alias("__prev"),
+        )
+        .filter(F.col("nf").cast("double") >= F.lit(q) * F.col("n_pairs"))
+        .orderBy("t")
+        .limit(1)
+    )
+    # mean distance: sum over t >= 1 of t * (NF(t) - NF(t-1)), i.e. the
+    # per-distance pair counts recovered from the cumulative deltas
+    mean_d = (
+        nf.select(
+            "t", (F.col("nf") - F.coalesce(F.lag("nf").over(wl), F.lit(0))).alias("__c")
+        )
+        .filter(F.col("t") >= 1)
+        .agg(
+            (
+                F.sum(F.col("t").cast("long") * F.col("__c"))
+                / F.sum("__c")
+            ).alias("__m")
+        )
+    )
+    return rows.crossJoin(F.broadcast(mean_d)).select(
+        "n_pairs",
+        F.col("t").alias("d_q"),
+        F.round(
+            F.when(
+                F.col("t") == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("t")
+                - 1
+                + (F.lit(q) * F.col("n_pairs") - F.col("__prev"))
+                / (F.col("nf") - F.col("__prev"))
+            ),
+            6,
+        ).alias("d_q_interp"),
+        F.round(F.col("__m"), 6).alias("mean_dist"),
+    )
+
+
 def harmonic_centrality(
     spark, edges: DataFrame, max_t: int, *, directed: bool = False
 ) -> DataFrame:
