@@ -3875,6 +3875,197 @@ SELECT hit.n_pairs, hit.t AS d_q,
 FROM hit, mean_d"""
 
 
+PPR_ALPHA = 0.15
+PPR_EPS = 1e-4
+PPR_ROUNDS = 10
+PPR_SEED_MOD = 50
+
+
+def _q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push personalized PageRank (ACL FOCS'06) from seeds
+    id % {PPR_SEED_MOD} == 0 on the dense DIRECTED graph — the batch
+    analogue of the reference's scoreSignal-gated scheduling
+    (algorithms/ppr.py); fixed {PPR_ROUNDS} rounds so the oracle is the
+    literal unrolled push recurrence."""
+    from signal_collect_spark.algorithms.ppr import ppr_push
+
+    edges = dense_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % PPR_SEED_MOD == 0)
+    )
+    out, _ = ppr_push(
+        spark, edges, seeds,
+        alpha=PPR_ALPHA, eps=PPR_EPS,
+        max_rounds=PPR_ROUNDS, run_to_convergence=False,
+        num_partitions=8,
+    )
+    return out.select(
+        "id",
+        F.round("ppr", 6).alias("ppr"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+def _ppr_push_sql() -> str:
+    a, b, eps = PPR_ALPHA, 1.0 - PPR_ALPHA, PPR_EPS
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        f"""pp0 AS (SELECT id, 0.0 AS p,
+  CASE WHEN id % {PPR_SEED_MOD} = 0 THEN 1.0 ELSE 0.0 END AS r
+FROM dverts)""",
+    ]
+    for k in range(1, PPR_ROUNDS + 1):
+        ctes.append(
+            f""",pa{k} AS (
+  SELECT s.id, s.p, s.r, COALESCE(d.outdeg, 0) AS od,
+         s.r > {eps} * CASE WHEN COALESCE(d.outdeg, 0) < 1 THEN 1
+                            ELSE d.outdeg END AS act
+  FROM pp{k - 1} s LEFT JOIN ddeg d ON d.src = s.id),
+pin{k} AS (
+  SELECT e.dst AS id, SUM({b} * x.r / x.od) AS inc
+  FROM dedges e JOIN pa{k} x ON x.id = e.src WHERE x.act
+  GROUP BY e.dst),
+pp{k} AS MATERIALIZED (
+  SELECT x.id,
+         x.p + CASE WHEN x.act THEN {a} * x.r ELSE 0.0 END AS p,
+         CASE WHEN x.act THEN 0.0 ELSE x.r END + COALESCE(i.inc, 0.0) AS r
+  FROM pa{k} x LEFT JOIN pin{k} i ON i.id = x.id)"""
+        )
+    return "\n".join(ctes) + (
+        f"\nSELECT id, ROUND(p, 6) AS ppr, ROUND(r, 6) AS residual FROM pp{PPR_ROUNDS}"
+    )
+
+
+def _q_codegraph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-cycle detection on the code link graph: SCCs of size >= 2
+    (strongly_connected_components over code_link_graph edges) — the
+    classic circular-import audit; cycle_rep = lexicographic min path
+    in the cycle, so labels are path-keyed (node ids are xxhash64,
+    deliberately never emitted)."""
+    from signal_collect_spark.algorithms import strongly_connected_components
+    from signal_collect_spark.codegraph import code_link_graph
+
+    nodes, edges = code_link_graph(_code_source(spark, sf_dir))
+    scc, _ = strongly_connected_components(spark, edges, num_partitions=8)
+    lbl = scc.join(
+        nodes.select(F.col("node_id").alias("id"), "repo", "path"), "id"
+    )
+    comp = lbl.groupBy("scc").agg(
+        F.count("*").cast("long").alias("cycle_size"),
+        F.min("path").alias("cycle_rep"),
+    )
+    return (
+        lbl.join(comp, "scc")
+        .filter(F.col("cycle_size") >= 2)
+        .select("repo", "path", "cycle_rep", "cycle_size")
+    )
+
+
+def _codegraph_cycles_sql() -> str:
+    return f"""WITH RECURSIVE {_CG_SQL.strip()},
+ce AS (
+  SELECT DISTINCT f.i AS src, g.i AS dst
+  FROM cgrefs r
+  JOIN cgfiles f ON f.i = r.i
+  JOIN cgfiles g ON g.i = r.t AND g.repo = f.repo
+  WHERE f.i <> g.i),
+reach(a, b) AS (
+  SELECT src, dst FROM ce
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ce e ON r.b = e.src),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+comp AS (
+  SELECT m.u, COUNT(DISTINCT m.v)::BIGINT AS cycle_size,
+         MIN(g.path) AS cycle_rep
+  FROM mutual m JOIN cgfiles g ON g.i = m.v GROUP BY m.u)
+SELECT f.repo, f.path, c.cycle_rep, c.cycle_size
+FROM comp c JOIN cgfiles f ON f.i = c.u
+WHERE c.cycle_size >= 2"""
+
+
+CRAWL_WIDTH = 2
+
+
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl schedule over the deduped canonical
+    frontier: <= {CRAWL_WIDTH} fetches per host per round, portable-hash
+    order within host (data/web.py crawl_schedule)."""
+    from signal_collect_spark.data.web import crawl_schedule, dedup_urls, url_host
+
+    urls = dedup_urls(_urls(spark, sf_dir)).select(
+        "url_norm", url_host("url_norm").alias("host")
+    )
+    return crawl_schedule(urls, "url_norm", "host", width=CRAWL_WIDTH)
+
+
+def _crawl_frontier_sql() -> str:
+    h = HS.sql_hash60("'crawl|' || url_norm")
+    return f"""WITH u AS (
+  SELECT DISTINCT
+    'http://host' || (doc_id % {URL_HOSTS}) || '.com/p' || (doc_id % {URL_PATHS}) AS url_norm,
+    'host' || (doc_id % {URL_HOSTS}) || '.com' AS host
+  FROM documents),
+r AS (SELECT url_norm, host,
+             row_number() OVER (PARTITION BY host ORDER BY {h}, url_norm) - 1 AS rk
+      FROM u)
+SELECT url_norm, host,
+       (rk // {CRAWL_WIDTH})::BIGINT AS fetch_round,
+       (rk % {CRAWL_WIDTH})::BIGINT AS slot
+FROM r"""
+
+
+PRW_STEPS = 10
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the dense DIRECTED graph: r = 0.15 +
+    0.85 Σ_in r(u)·w/Σw(u) — exercises the engine's norm_weight path
+    (superstep.py weight normalization) end-to-end against an
+    independent weighted-Jacobi unroll. Weights (3·src+dst)%7+1 on the
+    DENSE graph: mod-7 weights + the dense graph's large mixed
+    out-degrees keep normalization denominators off the 2·5-smooth
+    grid, so ranks never land exactly on the 6-dp decimal rounding
+    half (the sparse graph's degree-1 chains force nw=1 and park
+    few-hop ranks on exact halves, where ROUND hash-diverges on 1-ulp
+    engine-trajectory noise — observed at both SFs before this pin)."""
+    edges = dense_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (((F.col("src") * 3 + F.col("dst")) % 7) + 1).cast("double").alias("weight"),
+    )
+    state, _ = pagerank(
+        spark, edges, signal_threshold=0.0, converge_tol=0.0,
+        max_steps=PRW_STEPS, check_every=5, num_partitions=8,
+    )
+    return state.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_weighted_sql() -> str:
+    ctes = [
+        f"WITH {_DENSE_SQL.strip()},",
+        "wedges AS (SELECT src, dst, CAST((src * 3 + dst) % 7 + 1 AS DOUBLE) AS weight FROM dedges),",
+        "swdeg AS (SELECT src, SUM(weight) AS wsum FROM wedges GROUP BY src),",
+        "wpr0 AS (SELECT id, 0.15 AS rank FROM dverts)",
+    ]
+    for k in range(1, PRW_STEPS + 1):
+        ctes.append(
+            f""",wpr{k} AS MATERIALIZED (
+  SELECT v.id AS id, 0.15 + 0.85 * COALESCE(s.acc, 0.0) AS rank
+  FROM dverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.rank * (e.weight / d.wsum)) AS acc
+    FROM wedges e JOIN wpr{k - 1} p ON p.id = e.src JOIN swdeg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.id = v.id)"""
+        )
+    return "\n".join(ctes) + (
+        f"\nSELECT id, ROUND(rank, 6) AS rank FROM wpr{PRW_STEPS}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -3967,6 +4158,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "closeness_topk": _q_closeness,
         "effective_diameter": _q_effective_diameter,
+        # --- r5 batch 4 (behind the cap; parity-checked pre-commit) ---
+        "ppr_push": _q_ppr_push,
+        "codegraph_cycles": _q_codegraph_cycles,
+        "crawl_frontier": _q_crawl_frontier,
+        "pagerank_weighted": _q_pagerank_weighted,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -4275,4 +4471,8 @@ FROM sverts""",
         "chunk_documents": _CHUNK_SQL,
         "closeness_topk": _closeness_sql(),
         "effective_diameter": _effdiam_sql(),
+        "ppr_push": _ppr_push_sql(),
+        "codegraph_cycles": _codegraph_cycles_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
+        "pagerank_weighted": _pagerank_weighted_sql(),
     }

@@ -22,6 +22,7 @@ from signal_collect_spark.algorithms.modularity import modularity
 from signal_collect_spark.algorithms.kcore import core_number, k_core
 from signal_collect_spark.algorithms.sudoku import SUDOKU1, SUDOKU2, sudoku
 from signal_collect_spark.algorithms.crawler import crawl, crawl_pagerank, extract_links
+from signal_collect_spark.algorithms.ppr import ppr_push
 from signal_collect_spark.algorithms.scc import strongly_connected_components
 from signal_collect_spark.algorithms.walks import random_walks
 from signal_collect_spark.algorithms.pathquery import (
@@ -54,6 +55,7 @@ __all__ = [
     "hits",
     "salsa",
     "katz",
+    "ppr_push",
     "maximal_independent_set",
     "maximal_matching",
     "modularity",

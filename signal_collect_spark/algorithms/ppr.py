@@ -1,0 +1,161 @@
+"""Push-based personalized PageRank (ACL forward push), batched.
+
+Beyond-reference link-graph operator — and the closest cousin of the
+reference's score-guided scheduling: Signal-Collect's scoreSignal
+threshold (DefaultEdge.scala / AbstractVertex signal scoring) decides
+WHICH vertices emit each step; Andersen-Chung-Lang forward push
+(FOCS'06, "Local graph partitioning using PageRank vectors") is the
+same idea specialized to personalized PageRank — a vertex pushes only
+while its residual exceeds eps·outdeg, so work is proportional to the
+support of the PPR vector (O(1/(alpha·eps)) pushes total), NOT to
+|V|. That locality is exactly what makes seeded ranking feasible on a
+10^12-file link graph: the frontier starts at the seed set and decays
+geometrically instead of sweeping every vertex every round.
+
+This implementation runs the SYNCHRONOUS batch variant: every round,
+ALL vertices whose residual clears the threshold push at once (the
+BSP analogue of ACL's one-at-a-time queue — same fixpoint, because
+pushes are linear and commute; see also Whang et al. VLDB'15 on
+batched push ordering). Each round is therefore one frontier ⋈ edges
+hash join + one map-side-combined sum keyed on dst — the engine's
+standard superstep shape — making every round deterministic and
+replayable as one unrolled SQL CTE (the driver oracle).
+
+Update rule per round, with p the PPR estimate and r the residual:
+
+  active(v)  = r(v) > eps · max(outdeg(v), 1)
+  p'(v)      = p(v) + alpha · r(v)              if active(v)
+  r'(v)      = [0 if active(v) else r(v)]
+               + Σ_{(u,v), active(u)} (1-alpha) · r(u) / outdeg(u)
+
+Dangling active vertices (outdeg 0) bank alpha·r like everyone else;
+their (1-alpha)·r remainder leaves the system (documented teleport
+loss — deterministic on both engines). Invariant while no mass has
+been discarded: Σp + Σr == seed mass.
+
+Scale shape: edges shuffle ONCE (hash-partitioned on src, persisted);
+state is repartitioned on id with the same partition count, so the
+per-round state update joins without a fresh exchange of the edge
+side. The only per-round action is the frontier-emptiness probe on a
+geometrically shrinking active set. No Python UDFs, no windows, no
+collect.
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from signal_collect_spark.superstep import ExecutionInfo
+
+
+def ppr_push(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    alpha: float = 0.15,
+    eps: float = 1e-4,
+    max_rounds: int = 50,
+    run_to_convergence: bool = True,
+    num_partitions: int | str | None = None,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Forward-push PPR from ``seeds`` (DF with ``id`` and optional
+    ``mass`` column, default 1.0 per seed).
+
+    Returns (DF[id, ppr, residual], info) over every vertex of the
+    edge set: ``ppr`` the settled estimate, ``residual`` the pending
+    mass still below threshold (sup-norm error bound: eps·outdeg).
+
+    ``run_to_convergence=False`` runs exactly ``max_rounds`` rounds;
+    because a round with an empty active set is the identity, the
+    result equals the early-stopped fixpoint whenever the push
+    saturates earlier — which is what lets a fixed-round SQL unroll
+    serve as the value oracle.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if eps <= 0.0:
+        raise ValueError("eps must be > 0")
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = _time.monotonic()
+    info = ExecutionInfo()
+
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(P, "src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("od"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seed_mass = seeds.select(
+        F.col("id").cast("long"),
+        (F.col("mass") if "mass" in seeds.columns else F.lit(1.0))
+        .cast("double")
+        .alias("r0"),
+    )
+    state = (
+        verts.join(deg, verts.id == deg.src, "left")
+        .join(seed_mass, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("od"),
+            F.lit(0.0).alias("p"),
+            F.coalesce(F.col("r0"), F.lit(0.0)).alias("r"),
+        )
+        .repartition(P, "id")
+        .localCheckpoint(eager=True)
+    )
+
+    act = F.col("r") > F.lit(eps) * F.greatest(F.col("od"), F.lit(1)).cast("double")
+    rounds = 0
+    for _ in range(max_rounds):
+        if run_to_convergence and state.filter(act).isEmpty():
+            info.converged = True
+            break
+        pushes = (
+            state.filter(act)
+            .join(e, state.id == e.src)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.lit(1.0 - alpha) * F.col("r") / F.col("od")).alias("inc")
+            )
+            .withColumnRenamed("dst", "id")
+        )
+        state = (
+            state.join(pushes, "id", "left")
+            .select(
+                "id",
+                "od",
+                (F.col("p") + F.when(act, F.lit(alpha) * F.col("r")).otherwise(0.0)).alias("p"),
+                (
+                    F.when(act, F.lit(0.0)).otherwise(F.col("r"))
+                    + F.coalesce(F.col("inc"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+    else:
+        if run_to_convergence:
+            info.converged = state.filter(act).isEmpty()
+    if not run_to_convergence:
+        info.converged = state.filter(act).isEmpty()
+
+    e.unpersist()
+    info.supersteps = rounds
+    info.stop_reason = "converged" if info.converged else "max_steps"
+    info.wall_seconds = _time.monotonic() - t0
+    out = state.select(
+        "id", F.col("p").alias("ppr"), F.col("r").alias("residual")
+    )
+    return out, info

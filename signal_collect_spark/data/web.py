@@ -117,3 +117,47 @@ def anchor_texts(
         ).alias("anchor"),
     )
     return out.filter(F.col("dst") != "")
+
+
+def crawl_schedule(
+    df: DataFrame,
+    url_col: str = "url_norm",
+    host_col: str = "host",
+    *,
+    width: int = 2,
+    hash_fn: str = "portable",
+    seed: str = "crawl|",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier schedule: at most ``width``
+    fetches per host per round.
+
+    Every crawler operating at link-graph scale rate-limits per host
+    (the WebCrawler example fetches serially so never needs this; a
+    1000-executor fleet does). URLs are ordered within their host by
+    the portable 60-bit hash of ``seed || url`` (deterministic,
+    decorrelated from crawl order, SQL-replayable) and packed into
+    rounds of ``width``:
+
+      fetch_round = (rank - 1) // width,  slot = (rank - 1) % width
+
+    Scale shape: ONE shuffle keyed on host; the per-host row_number
+    window is the unavoidable sequential politeness constraint itself
+    (a host's queue IS a serial resource) — partitions hold single
+    hosts, so a hot host costs one linear scan, never a cross-host
+    barrier. Everything is JVM expressions; no collect, no Python.
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    from pyspark.sql import Window
+
+    from signal_collect_spark.data.hashing import hash_fn_column
+
+    hh = hash_fn_column(hash_fn, F.concat(F.lit(seed), F.col(url_col)))
+    w = Window.partitionBy(host_col).orderBy(hh, F.col(url_col))
+    rk = F.row_number().over(w) - 1
+    return df.select(
+        F.col(url_col),
+        F.col(host_col),
+        (rk / width).cast("long").alias("fetch_round"),
+        (rk % width).cast("long").alias("slot"),
+    )
