@@ -4066,6 +4066,106 @@ def _pagerank_weighted_sql() -> str:
     )
 
 
+PERC_KEEP = 55  # bond-percolation edge survival percentage
+
+
+def _q_bond_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond percolation / robustness profile of the sparse graph: each
+    edge survives iff its portable-hash coin lands < {PERC_KEEP}% (the
+    live-edge determinism trick of `influence_cascade`), then the
+    component-size histogram of the survivors — how the giant component
+    degrades under random edge failure (Newman, 'Networks' ch. 15)."""
+    from signal_collect_spark.algorithms import connected_components
+    from signal_collect_spark.data.hashing import portable_hash60
+
+    coin = portable_hash60(
+        F.concat(
+            F.lit("perc|"),
+            F.col("src").cast("string"),
+            F.lit("|"),
+            F.col("dst").cast("string"),
+        )
+    )
+    pe = sparse_edges(spark, sf_dir).filter(coin % 100 < PERC_KEEP)
+    comp, _ = connected_components(
+        spark, pe, max_steps=60, check_every=5, num_partitions=8
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+    )
+
+
+def _bond_percolation_sql() -> str:
+    coin = HS.sql_hash60(
+        "'perc|' || CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)"
+    )
+    return f"""WITH RECURSIVE {_SPARSE_SQL.strip()},
+pedges AS (SELECT src, dst FROM sedges WHERE {coin} % 100 < {PERC_KEEP}),
+puedges AS (SELECT src, dst FROM pedges UNION SELECT dst, src FROM pedges),
+pverts AS (SELECT src AS id FROM pedges UNION SELECT dst FROM pedges),
+preach(id, r) AS (
+  SELECT id, id FROM pverts
+  UNION
+  SELECT u.src, x.r FROM preach x JOIN puedges u ON u.dst = x.id),
+pcomp AS (SELECT id, MIN(r) AS c FROM preach GROUP BY id),
+psizes AS (SELECT c, COUNT(*)::BIGINT AS component_size FROM pcomp GROUP BY c)
+SELECT component_size, COUNT(*)::BIGINT AS n_components
+FROM psizes GROUP BY component_size"""
+
+
+IVJ_HOUR = 3_600_000_000  # µs
+IVJ_OFF = 600_000_000
+IVJ_END = 2_400_000_000
+IVJ_BUCKET = 600_000_000
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-containment join (data/temporal.py
+    interval_join): events against the [10min, 40min) window of each
+    active hour — one hash-equi-join on time buckets, never a
+    nested-loop range join. Exact integer epoch-µs arithmetic on both
+    engines."""
+    from signal_collect_spark.data.temporal import interval_join
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    hours = ev.select(
+        (F.col("t") - F.pmod(F.col("t"), F.lit(IVJ_HOUR))).alias("h0")
+    ).distinct()
+    iv = hours.select(
+        (F.col("h0") + IVJ_OFF).alias("win_start"),
+        (F.col("h0") + IVJ_END).alias("win_end"),
+    )
+    out = interval_join(
+        ev, iv, point_ts="t", start_col="win_start", end_col="win_end",
+        bucket_width=IVJ_BUCKET,
+    )
+    return out.groupBy("win_start").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
+def _interval_join_sql() -> str:
+    return f"""WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS t FROM events),
+hrs AS (SELECT DISTINCT t - (t % {IVJ_HOUR}) AS h0 FROM ev),
+iv AS (SELECT h0 + {IVJ_OFF} AS win_start, h0 + {IVJ_END} AS win_end FROM hrs)
+SELECT iv.win_start, COUNT(*)::BIGINT AS n_events,
+       MIN(ev.event_id)::BIGINT AS first_event
+FROM iv JOIN ev ON ev.t >= iv.win_start AND ev.t < iv.win_end
+GROUP BY iv.win_start"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -4163,6 +4263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codegraph_cycles": _q_codegraph_cycles,
         "crawl_frontier": _q_crawl_frontier,
         "pagerank_weighted": _q_pagerank_weighted,
+        "bond_percolation": _q_bond_percolation,
+        "interval_join": _q_interval_join,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -4475,4 +4577,6 @@ FROM sverts""",
         "codegraph_cycles": _codegraph_cycles_sql(),
         "crawl_frontier": _crawl_frontier_sql(),
         "pagerank_weighted": _pagerank_weighted_sql(),
+        "bond_percolation": _bond_percolation_sql(),
+        "interval_join": _interval_join_sql(),
     }

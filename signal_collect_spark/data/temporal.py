@@ -97,3 +97,75 @@ def asof_join(
     cols.append(m["__ts"].alias(f"{prefix}{on}"))
     cols.extend(m[c].alias(f"{prefix}{c}") for c in value_cols)
     return out.select(*cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Bucketed interval-containment join: each point row matched to
+    every interval with ``start <= ts < end`` (half-open, the event-
+    time convention everywhere else in this package).
+
+    Spark's native answer to a containment predicate is a broadcast
+    nested-loop / cartesian range join — O(|points|·|intervals|), dead
+    at any real scale. The standard scalable shape (also what DuckDB's
+    iejoin and Flink's interval join do internally, and the same trick
+    `data/similarity.py` uses for LSH buckets) is temporal BUCKETING:
+    explode each interval onto the fixed-width time buckets it covers,
+    bucket each point once, hash-equi-join on bucket, then re-check
+    the exact predicate. Cost: ONE shuffle keyed on bucket; the
+    explode factor is span/bucket_width per interval, bounded by
+    ``max_buckets_per_interval`` with a loud pre-join guard (bounded
+    limit(1) probe, never a full materialization — the
+    hamiltonian/similarity guard pattern).
+
+    Timestamps/bounds must be integers (epoch micros recommended —
+    exact in both engines); ``bucket_width`` trades shuffle key
+    cardinality against explode factor: ~ the median interval span is
+    a good default.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    def ibucket(c):
+        # exact floor-division for integer columns: subtracting the
+        # positive pmod makes the numerator an exact multiple of the
+        # width, so the double division is error-free even at 2^53-
+        # scale epoch-micro timestamps (a raw floor(c/w) can land one
+        # bucket off exactly at boundaries)
+        c = F.col(c) if isinstance(c, str) else c
+        return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast("long")
+
+    nb = ibucket(F.col(end_col) - 1) - ibucket(start_col) + 1
+    probe = (
+        intervals.filter(nb > max_buckets_per_interval).limit(1).collect()
+    )
+    if probe:
+        r = probe[0]
+        raise ValueError(
+            f"interval [{r[start_col]}, {r[end_col]}) spans more than "
+            f"max_buckets_per_interval={max_buckets_per_interval} buckets "
+            f"of width {bucket_width}; raise bucket_width or the cap"
+        )
+    b_iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(ibucket(start_col), ibucket(F.col(end_col) - 1))
+        ),
+    )
+    b_pt = points.withColumn("_bucket", ibucket(point_ts))
+    return (
+        b_pt.join(b_iv, "_bucket")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_bucket")
+    )

@@ -272,3 +272,118 @@ def test_weighted_pagerank_matches_replica(spark):
         rank = {v: 0.15 + 0.85 * acc.get(v, 0.0) for v in verts}
     for v in verts:
         assert got[v] == pytest.approx(rank[v], abs=1e-9)
+
+
+# ----------------------------------------------------------- interval_join
+
+
+def test_interval_join_boundaries_and_multibucket(spark):
+    from signal_collect_spark.data.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 199), (4, 200), (5, 99), (6, 1000)],
+        "pid long, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 200, "a"), (150, 1001, "b")],  # b spans many buckets
+        "start long, end long, tag string",
+    )
+    out = interval_join(
+        points, ivs, point_ts="ts", bucket_width=30
+    ).select("pid", "tag").collect()
+    got = {(r["pid"], r["tag"]) for r in out}
+    # half-open: ts==start in, ts==end out
+    want = {(1, "a"), (2, "a"), (3, "a"), (2, "b"), (3, "b"), (4, "b"), (6, "b")}
+    assert got == want
+
+
+def test_interval_join_guard_and_validation(spark):
+    import pytest as _pytest
+
+    from signal_collect_spark.data.temporal import interval_join
+
+    points = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    ivs = spark.createDataFrame([(0, 10_000)], "start long, end long")
+    with _pytest.raises(ValueError, match="max_buckets_per_interval"):
+        interval_join(
+            points, ivs, point_ts="ts", bucket_width=10,
+            max_buckets_per_interval=100,
+        )
+    with _pytest.raises(ValueError, match="bucket_width"):
+        interval_join(points, ivs, point_ts="ts", bucket_width=0)
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    import random
+
+    from signal_collect_spark.data.temporal import interval_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(0, 5000)) for i in range(300)]
+    ivs = []
+    for j in range(40):
+        s = rng.randrange(0, 4800)
+        ivs.append((j, s, s + rng.randrange(1, 400)))
+    out = interval_join(
+        spark.createDataFrame(pts, "pid long, ts long"),
+        spark.createDataFrame(ivs, "iid long, start long, end long"),
+        point_ts="ts",
+        bucket_width=128,
+    ).select("pid", "iid").collect()
+    got = {(r["pid"], r["iid"]) for r in out}
+    want = {
+        (p, i) for p, t in pts for i, s, e in ivs if s <= t < e
+    }
+    assert got == want
+
+
+# -------------------------------------------------------- bond_percolation
+
+
+def _union_find_sizes(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes = collections.Counter(find(v) for v in parent)
+    return collections.Counter(sizes.values())
+
+
+def test_bond_percolation_matches_union_find(spark):
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["component_size"], r["n_components"])
+        for r in E._q_bond_percolation(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    rows = con.execute(
+        """SELECT DISTINCT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
+           FROM lineitem
+           WHERE l_linenumber = 1 AND l_orderkey % 5000 <> l_partkey % 5000"""
+    ).fetchall()
+    kept = [
+        (s, d)
+        for s, d in rows
+        if _md5_60(f"perc|{s}|{d}") % 100 < E.PERC_KEEP
+    ]
+    hist = _union_find_sizes(kept)
+    assert got == set(hist.items())
+    # the coin must actually drop edges, not pass everything through
+    assert 0 < len(kept) < len(rows)
