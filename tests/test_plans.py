@@ -411,3 +411,58 @@ def test_mis_round_has_partial_min_aggregation(spark):
     plan = _plan(nm)
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The containment join must go through the bucket equi key —
+    a raw range predicate would fall back to BroadcastNestedLoopJoin
+    and O(points x intervals) work."""
+    from signal_collect_spark.data.temporal import interval_join
+
+    pts = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 37 % 5000).alias("ts")
+    )
+    ivs = spark.range(0, 50).select(
+        (F.col("id") * 100).alias("start"), (F.col("id") * 100 + 60).alias("end")
+    )
+    plan = _plan(interval_join(pts, ivs, point_ts="ts", bucket_width=64))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # bucket equi join present
+
+
+def test_ppr_push_round_stays_jvm_with_partial_agg(spark):
+    """One push round = frontier filter -> edge equi join -> keyed sum
+    with map-side combine; no Python UDF, no nested loop."""
+    from signal_collect_spark.algorithms.ppr import ppr_push
+
+    edges = FX.edges_df(spark, FX.torus(5))
+    out, _ = ppr_push(
+        spark,
+        edges,
+        spark.createDataFrame([(0,)], "id long"),
+        eps=1e-3,
+        max_rounds=1,
+        run_to_convergence=False,
+        num_partitions=4,
+    )
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crawl_schedule_single_host_shuffle(spark):
+    """The politeness window must shuffle ONCE keyed on host (the
+    per-host sequence is the politeness constraint itself)."""
+    from signal_collect_spark.data.web import crawl_schedule
+
+    df = spark.range(0, 200).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url_norm"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com")).alias("host"),
+    )
+    plan = _plan(crawl_schedule(df, width=3))
+    assert plan.count(") Exchange") == 1  # exactly one shuffle node
+    assert "hashpartitioning(host" in plan
+    assert "BatchEvalPython" not in plan
