@@ -258,6 +258,39 @@ def run_suite(spark, sf_dir, edges, n_edges, extra):
     queries["temporal_bfs"] = time.monotonic() - t0
     tinfo.release()
 
+    # --- push PPR (residual-gated local computation, ACL push) ---------------
+    from signal_collect_spark.algorithms.ppr import ppr_push
+
+    t0 = time.monotonic()
+    seeds = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .filter(F.col("id") % 1000 == 0)
+    )
+    pout, pinfo = ppr_push(spark, edges, seeds, eps=1e-5, max_rounds=30)
+    extra["ppr_rounds"] = pinfo.supersteps
+    extra["ppr_support"] = pout.filter(F.col("ppr") > 0).count()
+    queries["ppr_push"] = time.monotonic() - t0
+
+    # --- bucketed interval-containment join over the event stream ------------
+    from signal_collect_spark.data.temporal import interval_join
+
+    t0 = time.monotonic()
+    ev_t = ev.select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    hours = ev_t.select(
+        (F.col("t") - F.pmod(F.col("t"), F.lit(3_600_000_000))).alias("h0")
+    ).distinct()
+    iv = hours.select(
+        (F.col("h0") + 600_000_000).alias("win_start"),
+        (F.col("h0") + 2_400_000_000).alias("win_end"),
+    )
+    extra["interval_matches"] = interval_join(
+        ev_t, iv, point_ts="t", start_col="win_start", end_col="win_end",
+        bucket_width=600_000_000,
+    ).count()
+    queries["interval_join"] = time.monotonic() - t0
+
     # --- multimodal: encode+decode round trip (built-in BMP/Y4M codecs) ------
     from signal_collect_spark.data import multimodal as M
     from signal_collect_spark.data.codecs import encode_bmp_gray, encode_y4m_mono
