@@ -2146,7 +2146,9 @@ def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _matching_sql() -> str:
+def _matching_ctes() -> str:
+    """Shared CTE prefix: the unrolled hash-priority matching rounds
+    (used by both the matching oracle and the coarsening oracle)."""
     h = HS.sql_hash60("'mm|' || CAST(lo AS VARCHAR) || '|' || CAST(hi AS VARCHAR)")
     ctes = [
         f"WITH {_SPARSE_SQL.strip()},",
@@ -2172,13 +2174,17 @@ mm{k} AS MATERIALIZED (SELECT e.lo, e.hi, e.hk FROM mm{p} e
   WHERE NOT EXISTS (SELECT 1 FROM mt{k} m WHERE m.lo = e.lo AND m.hi = e.hi)
     AND NOT EXISTS (SELECT 1 FROM dr{k} d WHERE d.lo = e.lo AND d.hi = e.hi))"""
         )
+    return "\n".join(ctes)
+
+
+def _matching_sql() -> str:
     finals = [
         f"SELECT lo, hi, TRUE AS matched, CAST({k} AS INT) AS round FROM mt{k}\n"
         f"UNION ALL SELECT lo, hi, FALSE, CAST({k} AS INT) FROM dr{k}"
         for k in range(1, MM_ROUNDS + 1)
     ]
     finals.append(f"SELECT lo, hi, FALSE, CAST(0 AS INT) FROM mm{MM_ROUNDS}")
-    return "\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+    return _matching_ctes() + "\n" + "\nUNION ALL ".join(finals)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4166,6 +4172,92 @@ FROM iv JOIN ev ON ev.t >= iv.win_start AND ev.t < iv.win_end
 GROUP BY iv.win_start"""
 
 
+def _q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching-based graph coarsening — the multilevel-partitioning
+    primitive (METIS heavy-edge style, Karypis-Kumar '98): collapse
+    each matched pair onto its lo endpoint, contract the edge list onto
+    the supervertices summing integer-valued weights. Reuses the
+    verified deterministic matching fixpoint + contract_graph; the
+    oracle replays the same matching rounds then contracts in SQL."""
+    from signal_collect_spark.algorithms.matching import maximal_matching
+    from signal_collect_spark.graph import contract_graph, vertices_from_edges
+
+    edges = sparse_edges(spark, sf_dir)
+    m, _ = maximal_matching(
+        spark, edges, rounds=MM_ROUNDS, num_partitions=8
+    )
+    matched = m.filter(F.col("matched"))
+    mapping = (
+        vertices_from_edges(edges)
+        .join(
+            matched.select(F.col("lo").alias("id"), F.col("lo").alias("g1")),
+            "id", "left",
+        )
+        .join(
+            matched.select(F.col("hi").alias("id"), F.col("lo").alias("g2")),
+            "id", "left",
+        )
+        .select("id", F.coalesce("g1", "g2", "id").alias("group"))
+    )
+    out = contract_graph(edges, mapping, weight_col="weight")
+    return out.select(
+        "gsrc", "gdst", F.round("weight", 6).alias("weight"), "n_edges"
+    )
+
+
+def _graph_coarsen_sql() -> str:
+    mt_union = "\nUNION ALL ".join(
+        f"SELECT lo, hi FROM mt{k}" for k in range(1, MM_ROUNDS + 1)
+    )
+    return (
+        _matching_ctes()
+        + f""",
+cmp AS ({mt_union}),
+cmap AS (
+  SELECT v.id, COALESCE(a.lo, b.lo, v.id) AS grp
+  FROM sverts v
+  LEFT JOIN cmp a ON a.lo = v.id
+  LEFT JOIN cmp b ON b.hi = v.id)
+SELECT m1.grp AS gsrc, m2.grp AS gdst,
+       ROUND(SUM(e.weight), 6) AS weight, COUNT(*)::BIGINT AS n_edges
+FROM sedges e
+JOIN cmap m1 ON m1.id = e.src
+JOIN cmap m2 ON m2.id = e.dst
+WHERE m1.grp <> m2.grp
+GROUP BY 1, 2"""
+    )
+
+
+ZIPF_RANKS = 100
+
+
+def _q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus fit (textstats.py zipf_fit): LSQ slope and
+    intercept of ln freq vs ln rank over the top {ZIPF_RANKS} tokens."""
+    return TS.zipf_fit(_docs(spark, sf_dir), top_ranks=ZIPF_RANKS)
+
+
+def _token_zipf_sql() -> str:
+    return f"""WITH tk AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+ct AS (SELECT tok, COUNT(*)::BIGINT AS freq FROM tk WHERE tok <> '' GROUP BY tok),
+rk AS (SELECT tok, freq,
+              row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+       FROM ct),
+top AS (SELECT CAST(rank AS DOUBLE) AS rank, CAST(freq AS DOUBLE) AS freq
+        FROM rk WHERE rank <= {ZIPF_RANKS}),
+s AS (SELECT COUNT(*)::BIGINT AS n,
+             SUM(ln(rank)) AS sx, SUM(ln(freq)) AS sy,
+             SUM(ln(rank) * ln(freq)) AS sxy,
+             SUM(ln(rank) * ln(rank)) AS sxx
+      FROM top)
+SELECT n AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS zipf_intercept
+FROM s"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the dense link graph at sf0.001."""
     return _q_pagerank()(spark, "/root/testdata/sf0.001")
@@ -4265,6 +4357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "bond_percolation": _q_bond_percolation,
         "interval_join": _q_interval_join,
+        "graph_coarsen": _q_graph_coarsen,
+        "token_zipf": _q_token_zipf,
         # --- driver-green in CORRECTNESS_r04 (original r1-r4 order) ---
         "pagerank": _q_pagerank(),
         "pagerank_csr": _q_pagerank(mode="csr"),
@@ -4579,4 +4673,6 @@ FROM sverts""",
         "pagerank_weighted": _pagerank_weighted_sql(),
         "bond_percolation": _bond_percolation_sql(),
         "interval_join": _interval_join_sql(),
+        "graph_coarsen": _graph_coarsen_sql(),
+        "token_zipf": _token_zipf_sql(),
     }

@@ -522,3 +522,54 @@ def token_pmi(
         )
     )
     return pmi.orderBy(F.col("pmi").desc(), "a", "b").limit(k)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    top_ranks: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: least-squares
+    slope/intercept of ln(freq) over ln(rank) for the ``top_ranks``
+    most frequent tokens — the one-row corpus health summary every
+    training-data report carries (a natural corpus sits near slope -1;
+    a flat slope flags boilerplate/duplication, a cliff flags template
+    spam; Piantadosi 2014 reviews the diagnostic).
+
+    Scale shape: one explode + map-side-combined token counts (the
+    same shuffle `token_stats` already pays), then TakeOrdered pulls
+    the top_ranks head — the ONLY single-partition step touches
+    ``top_ranks`` rows (<= 100s), never the vocabulary. The regression
+    is one aggregate of five sums over those rows. No Python.
+    """
+    if top_ranks < 2:
+        raise ValueError("top_ranks must be >= 2")
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(top_ranks)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.desc("freq"), F.asc("tok")))
+        .alias("rank"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.log("rank")).alias("sx"),
+        F.sum(F.log("freq")).alias("sy"),
+        F.sum(F.log("rank") * F.log("freq")).alias("sxy"),
+        F.sum(F.log("rank") * F.log("rank")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

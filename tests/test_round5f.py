@@ -387,3 +387,104 @@ def test_bond_percolation_matches_union_find(spark):
     assert got == set(hist.items())
     # the coin must actually drop edges, not pass everything through
     assert 0 < len(kept) < len(rows)
+
+
+# ---------------------------------------------------------- graph_coarsen
+
+
+def test_graph_coarsen_contraction_is_consistent(spark):
+    """Contract the sparse graph onto its verified matching and check
+    the composition against a collected-edge replica: same group map,
+    same summed weights, supervertex count == |V| - |matched pairs|."""
+    from signal_collect_spark.algorithms.matching import maximal_matching
+    from signal_collect_spark.graph import contract_graph, vertices_from_edges
+
+    triples = []
+    for i in range(30):
+        triples.append((i, (i * 11 + 3) % 30, float(i % 4 + 1)))
+        triples.append((i, (i * 17 + 7) % 30, float(i % 3 + 1)))
+    triples = [(s, d, w) for s, d, w in triples if s != d]
+    edges = _edges_df(spark, triples)
+
+    m, _ = maximal_matching(spark, edges, rounds=12, num_partitions=4)
+    matched = [(r["lo"], r["hi"]) for r in m.collect() if r["matched"]]
+    grp = {}
+    for lo, hi in matched:
+        grp[lo] = lo
+        grp[hi] = lo
+    verts = {v for s, d, _ in triples for v in (s, d)}
+    for v in verts:
+        grp.setdefault(v, v)
+
+    mapping = spark.createDataFrame(
+        [(v, g) for v, g in grp.items()], "id long, group long"
+    )
+    out = contract_graph(edges, mapping, weight_col="weight")
+    got = {
+        (r["gsrc"], r["gdst"]): (r["weight"], r["n_edges"])
+        for r in out.collect()
+    }
+
+    want = collections.defaultdict(lambda: [0.0, 0])
+    for s, d, w in triples:
+        gs, gd = grp[s], grp[d]
+        if gs == gd:
+            continue
+        want[(gs, gd)][0] += w
+        want[(gs, gd)][1] += 1
+    assert got == {k: (w, n) for k, (w, n) in want.items()}
+    assert len(set(grp.values())) == len(verts) - len(matched)
+    assert matched, "fixture graph must produce a non-empty matching"
+
+
+# -------------------------------------------------------------- zipf_fit
+
+
+def test_zipf_fit_exact_minus_one_slope(spark):
+    from signal_collect_spark.data.textstats import zipf_fit
+
+    # freq(r) = 120 / r for r = 1..6 -> ln f = ln 120 - 1 * ln r:
+    # the regression must recover slope -1, intercept ln 120 exactly
+    freqs = [120, 60, 40, 30, 24, 20]
+    text = " ".join(
+        " ".join(f"tok{chr(97 + i)}" for _ in range(f))
+        for i, f in enumerate(freqs)
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = zipf_fit(docs, top_ranks=6).first()
+    import math
+
+    assert row["n_ranks"] == 6
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=1e-6)
+    assert row["zipf_intercept"] == pytest.approx(math.log(120), abs=1e-6)
+
+
+def test_zipf_fit_matches_replica_and_validates(spark):
+    import math
+
+    from signal_collect_spark.data.textstats import zipf_fit
+
+    docs_rows = [
+        (i, " ".join(f"w{(i * j) % 13}" for j in range(40))) for i in range(25)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    row = zipf_fit(docs, top_ranks=10).first()
+
+    cnt = collections.Counter(
+        t for _, text in docs_rows for t in text.split(" ") if t
+    )
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    xs = [math.log(r + 1) for r in range(len(top))]
+    ys = [math.log(f) for _, f in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_ranks"] == n
+    assert row["zipf_slope"] == pytest.approx(round(slope, 6), abs=2e-6)
+    assert row["zipf_intercept"] == pytest.approx(
+        round((sy - slope * sx) / n, 6), abs=2e-6
+    )
+    with pytest.raises(ValueError):
+        zipf_fit(docs, top_ranks=1)
