@@ -466,3 +466,75 @@ def test_crawl_schedule_single_host_shuffle(spark):
     assert plan.count(") Exchange") == 1  # exactly one shuffle node
     assert "hashpartitioning(host" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_count_stays_jvm_with_partial_agg(spark):
+    """A BPE round's pair counting must be pure expression (explode +
+    groupBy with map-side combine) — no Python in the vocab loop."""
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest")],
+        "doc_id long, text string",
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.regexp_replace(F.col("word"), "(.)", "\x1f$1").alias("s"), "c"
+        )
+    )
+    pairs = (
+        words.withColumn(
+            "toks", F.filter(F.split(F.col("s"), "\x1f"), lambda t: t != F.lit(""))
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+            "c",
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("c").alias("cnt"))
+    )
+    plan = _plan(pairs)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """Phase 2 must broadcast the bounded candidate set back as a
+    LeftSemi filter — the long tail never shuffles."""
+    docs = spark.createDataFrame(
+        [(i, "hot hot cold w%d" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    candidates = spark.createDataFrame([("hot",)], "token string")
+    out = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_spectral_step_is_pagerank_shaped(spark):
+    """A deflated power-iteration step = edge equi join + keyed sum with
+    map-side combine + broadcast scalar; no cartesian on the data path
+    (the only crossJoin is against the 1-row projection aggregate)."""
+    from signal_collect_spark.algorithms.spectral import spectral_bisection
+
+    edges = FX.edges_df(spark, FX.torus(4))
+    out = spectral_bisection(spark, edges, steps=1, num_partitions=4)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar rides broadcast
