@@ -77,8 +77,16 @@ def pack_sequences(
         par = spark.sparkContext.defaultParallelism
         bits = max(1, (4 * par - 1).bit_length())
         keyed = keyed.withColumn("__b", F.shiftrightunsigned(F.col("__k"), 60 - bits))
+        # ROWS frame pinned: the default frame with an ORDER BY is RANGE
+        # UNBOUNDED PRECEDING -> CURRENT ROW, which hands every peer row
+        # (duplicate ids tie on both k and id) the inclusive peer-group
+        # sum — overlapping token spans. ROWS matches the oracle's frame;
+        # the extra n_tokens order key makes intra-peer order (and hence
+        # the output multiset) deterministic even for duplicate ids.
         in_bucket = F.sum("n_tokens").over(
-            W.partitionBy("__b").orderBy("__k", "id")
+            W.partitionBy("__b")
+            .orderBy("__k", "id", "n_tokens")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         # B-row bucket totals → exclusive running offsets (tiny window)
         offsets = (
@@ -87,7 +95,12 @@ def pack_sequences(
             .select(
                 "__b",
                 (
-                    F.sum("__t").over(W.orderBy("__b")) - F.col("__t")
+                    F.sum("__t").over(
+                        W.orderBy("__b").rowsBetween(
+                            W.unboundedPreceding, W.currentRow
+                        )
+                    )
+                    - F.col("__t")
                 ).alias("__off"),
             )
         )
@@ -106,9 +119,14 @@ def pack_sequences(
         positioned = keyed.select(
             "id",
             "n_tokens",
-            (F.sum("n_tokens").over(W.orderBy("__k", "id")) - F.col("n_tokens")).alias(
-                "start_offset"
-            ),
+            (
+                F.sum("n_tokens").over(
+                    W.orderBy("__k", "id", "n_tokens").rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("n_tokens")
+            ).alias("start_offset"),
         )
     return (
         positioned.select(
@@ -258,8 +276,13 @@ def mix_corpus(
     par = spark.sparkContext.defaultParallelism
     bits = max(1, (4 * par - 1).bit_length())
     keyed = keyed.withColumn("__b", F.shiftrightunsigned(F.col("__k"), 60 - bits))
+    # ROWS frame + n_tokens tiebreak: see pack_sequences — the default
+    # RANGE frame double-counts peer rows (duplicate ids) and diverges
+    # from the oracle's pinned ROWS frame.
     in_bucket = F.sum("n_tokens").over(
-        W.partitionBy("source", "__b").orderBy("__k", "id")
+        W.partitionBy("source", "__b")
+        .orderBy("__k", "id", "n_tokens")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offsets = (
         keyed.groupBy("source", "__b")
@@ -268,7 +291,12 @@ def mix_corpus(
             "source",
             "__b",
             (
-                F.sum("__t").over(W.partitionBy("source").orderBy("__b")) - F.col("__t")
+                F.sum("__t").over(
+                    W.partitionBy("source")
+                    .orderBy("__b")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("__t")
             ).alias("__off"),
         )
     )
