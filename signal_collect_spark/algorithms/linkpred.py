@@ -62,12 +62,16 @@ def adamic_adar(
     Returns DataFrame[u, w, cn, aa] with u < w: common-neighbor count
     and Adamic-Adar score, for candidate pairs with cn >= 1.
     """
+    # materialized once: und feeds the adjacency (twice, via the union),
+    # and the final anti-join — lazily chained, the distinct over the
+    # edge table re-ran once per consumer (3 full passes; guide §2.4)
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
@@ -79,7 +83,10 @@ def adamic_adar(
         centers = centers.filter(F.col("deg") <= int(max_center_degree))
 
     # adjacency rows of usable centers, carrying the center's 1/ln(deg)
-    # weight so the wedge join needs no third input
+    # weight so the wedge join needs no third input. Materialized once:
+    # it is BOTH sides of the wedge self-join below, and the two sides
+    # are projected differently, so exchange reuse cannot deduplicate
+    # the degree-join subtree on its own.
     star = (
         adj.join(centers, adj["a"] == centers["v"], "inner")
         .select(
@@ -87,6 +94,7 @@ def adamic_adar(
             F.col("b").alias("n"),
             (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w_inv"),
         )
+        .localCheckpoint(eager=True)
     )
 
     # wedge expansion: pairs of distinct neighbors of the same center.
@@ -144,19 +152,26 @@ def jaccard_neighbors(
     the reported intersection — the standard approximation, documented
     rather than silent.
     """
+    # same one-pass materialization as adamic_adar (und: 3 consumers,
+    # deg: 3, star: both self-join sides)
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = adj.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg"))
+    deg = adj.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     centers = deg.filter(F.col("deg") >= 2)
     if max_center_degree is not None:
         centers = centers.filter(F.col("deg") <= int(max_center_degree))
-    star = adj.join(centers.select("v"), adj["a"] == F.col("v"), "left_semi")
+    star = adj.join(centers.select("v"), adj["a"] == F.col("v"), "left_semi").localCheckpoint(
+        eager=True
+    )
     s1 = star.select(F.col("a").alias("v"), F.col("b").alias("n1"))
     s2 = star.select(F.col("a").alias("v2"), F.col("b").alias("n2"))
     pairs = (
@@ -195,12 +210,15 @@ def _directed_wedges(
         edges.select(F.col(center).alias("c"), F.col(leaf).alias("n"))
         .filter(F.col("c") != F.col("n"))
         .distinct()
+        # both self-join sides read e; materialize the distinct once
+        .localCheckpoint(eager=True)
     )
     if max_center_degree is not None:
         deg = e.groupBy("c").agg(F.count("*").alias("__deg"))
         e = (
             e.join(deg.filter(F.col("__deg") <= int(max_center_degree)), "c")
             .drop("__deg")
+            .localCheckpoint(eager=True)
         )
     s1 = e.select("c", F.col("n").alias("n1"))
     s2 = e.select(F.col("c").alias("c2"), F.col("n").alias("n2"))

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import time as _time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +81,14 @@ def ppr_push(
         raise ValueError("alpha must be in (0, 1)")
     if eps <= 0.0:
         raise ValueError("eps must be > 0")
+    if num_partitions == "auto":
+        # resolve the package-wide "auto" sentinel like the superstep
+        # engine does — previously the string fell through to
+        # repartition(P, ...) where Spark read it as a COLUMN name
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism,
+            min(200_000, -(-edges.count() // 1_000_000)),
+        )
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = _time.monotonic()
     info = ExecutionInfo()
@@ -92,16 +101,21 @@ def ppr_push(
         .persist()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("od"))
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
     seed_mass = seeds.select(
         F.col("id").cast("long"),
         (F.col("mass") if "mass" in seeds.columns else F.lit(1.0))
         .cast("double")
         .alias("r0"),
+    )
+    # seed ids OUTSIDE the edge vertex set stay in the state as dangling
+    # vertices (they bank alpha*r like any other dangling vertex) — the
+    # documented sum-of-mass invariant held only by accident when every
+    # seed had edges (r5 ADVICE)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .unionAll(seed_mass.select("id"))
+        .distinct()
     )
     state = (
         verts.join(deg, verts.id == deg.src, "left")
@@ -128,6 +142,7 @@ def ppr_push(
     # rounds is the identity, not an error — the same amortization
     # contract as the superstep engine's check_every.
     rounds = 0
+    pending: list[DataFrame] = []
     for i in range(max_rounds):
         pushes = (
             state.filter(act)
@@ -140,26 +155,47 @@ def ppr_push(
         )
         # the left join keys on id, so the update inherits state's
         # hash(id) partitioning — no explicit repartition per round
-        state = (
-            state.join(pushes, "id", "left")
-            .select(
-                "id",
-                "od",
-                (F.col("p") + F.when(act, F.lit(alpha) * F.col("r")).otherwise(0.0)).alias("p"),
-                (
-                    F.when(act, F.lit(0.0)).otherwise(F.col("r"))
-                    + F.coalesce(F.col("inc"), F.lit(0.0))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        new_state = state.join(pushes, "id", "left").select(
+            "id",
+            "od",
+            (F.col("p") + F.when(act, F.lit(alpha) * F.col("r")).otherwise(0.0)).alias("p"),
+            (
+                F.when(act, F.lit(0.0)).otherwise(F.col("r"))
+                + F.coalesce(F.col("inc"), F.lit(0.0))
+            ).alias("r"),
         )
-        rounds += 1
+        # rounds chain LAZILY between barriers (the superstep engine's
+        # check_every pattern): intermediate states are persisted (each
+        # feeds both sides of the next round, so an uncached chain would
+        # recompute exponentially), and only the barrier truncates the
+        # lineage + runs the one emptiness action per block — the r5
+        # shape ran one eager checkpoint JOB per round instead.
         barrier = (i + 1) % truncate_every == 0 or i + 1 == max_rounds
-        if barrier and run_to_convergence and state.filter(act).isEmpty():
-            info.converged = True
-            break
+        if barrier:
+            # eager when no probe follows: the pending unpersists below
+            # are only safe once the block has actually materialized
+            new_state = new_state.localCheckpoint(
+                eager=not run_to_convergence,
+                storageLevel=StorageLevel.MEMORY_AND_DISK,
+            )
+        else:
+            new_state = new_state.persist()
+        pending.append(state)
+        state = new_state
+        rounds += 1
+        if barrier:
+            empty = run_to_convergence and state.filter(act).isEmpty()
+            for df in pending:
+                df.unpersist()
+            pending.clear()
+            if empty:
+                info.converged = True
+                break
     if not run_to_convergence:
         info.converged = state.filter(act).isEmpty()
+    for df in pending:
+        df.unpersist()
+    pending.clear()
 
     e.unpersist()
     info.supersteps = rounds

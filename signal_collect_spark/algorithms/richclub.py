@@ -31,18 +31,23 @@ def rich_club(edges: DataFrame, *, max_k: int | None = None) -> DataFrame:
     """DF[k, n_nodes, n_edges, phi] for every k with N_k >= 2, from the
     undirected simple graph of ``edges``.  ``max_k`` truncates the
     curve (the tail with N_k < 2 is dropped regardless — φ undefined)."""
+    # materialized once each: und feeds deg AND the min-endpoint join;
+    # deg feeds its histogram AND both endpoint joins — lazily chained,
+    # the edge-table distinct re-ran once per consumer
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # histogram of degrees and of per-edge min endpoint degree
     hd = deg.groupBy("deg").agg(F.count("*").alias("nd"))

@@ -74,9 +74,13 @@ def salsa(
     base = edges.select("src", "dst").distinct()
     outd = base.groupBy("src").agg(F.count("*").alias("outdeg"))
     ind = base.groupBy("dst").agg(F.count("*").alias("indeg"))
-    # one edge set carrying both stochastic factors; partitioned on the
-    # half-step join keys' superset (src) and persisted once
-    e = (
+    # TWO copies of the factored edge set, one per half-step join key:
+    # the hub half-step joins on dst, the authority half-step on src. A
+    # single src-partitioned copy (the r5 shape) forced a full edge
+    # shuffle inside EVERY hub half-step — the classic space-for-shuffle
+    # trade (guide §2.4): materialize each partitioning once, reuse it
+    # ``steps`` times.
+    ew = (
         base.join(outd, "src")
         .join(ind, "dst")
         .select(
@@ -85,9 +89,12 @@ def salsa(
             (F.lit(1.0) / F.col("outdeg")).alias("inv_out"),
             (F.lit(1.0) / F.col("indeg")).alias("inv_in"),
         )
-        .repartition(P, "src")
-        .persist()
+        # materialized ONCE so the two repartitions below re-read blocks
+        # instead of each re-running the distinct + degree joins
+        .localCheckpoint(eager=True)
     )
+    e = ew.repartition(P, "src").persist()
+    e_dst = ew.repartition(P, "dst").persist()
     vertices = G.vertices_from_edges(e).repartition(P, "id").persist()
 
     n_auth = vertices.join(
@@ -98,6 +105,7 @@ def salsa(
             "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         ).localCheckpoint(eager=True)
         e.unpersist()
+        e_dst.unpersist()
         vertices.unpersist()
         info.supersteps = 0
         info.converged = True
@@ -117,7 +125,7 @@ def salsa(
         # hub half-step: pull authority mass backward along in-edges,
         # split by the authority's in-degree
         hub = (
-            e.join(auth.withColumnRenamed("id", "dst"), "dst")
+            e_dst.join(auth.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.sum(F.col("authority") * F.col("inv_in")).alias("hub"))
             .withColumnRenamed("src", "id")
@@ -154,6 +162,7 @@ def salsa(
         .localCheckpoint(eager=True)
     )
     e.unpersist()
+    e_dst.unpersist()
     vertices.unpersist()
     info.supersteps = steps
     info.converged = True

@@ -139,6 +139,8 @@ def spectral_bisection(
         )
     )
     base.unpersist()
-    # ew stays pinned until the caller materializes `out`; Spark evicts
-    # it with the session — callers running many queries may unpersist.
+    # x is eagerly checkpointed every step, so nothing in out's lineage
+    # still references ew — keeping it pinned was a pure executor-memory
+    # leak across multi-query sessions (r5 ADVICE)
+    ew.unpersist()
     return out

@@ -89,7 +89,13 @@ def wl_colors(
                 ).alias("color"),
             )
             .repartition(P, "id")
-            .localCheckpoint(eager=True)
+            # intermediate rounds chain lazily (one job for the whole
+            # refinement instead of one blocking job per round); the
+            # checkpoint still truncates the logical plan immediately
+            # and RDD-persists on materialization. The LAST round stays
+            # eager: the e.unpersist() below is only safe once the
+            # chain has actually materialized.
+            .localCheckpoint(eager=rnd == rounds - 1)
         )
         old = colors
         colors = nxt

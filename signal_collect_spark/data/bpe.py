@@ -65,6 +65,13 @@ def bpe_train(
 
     One corpus scan -> (word, freq); then ``n_merges`` rounds over the
     distinct-word table only.  Stops early if no adjacent pair remains.
+
+    Input assumption (in addition to the documented U+001F one): words
+    are whitespace-split surface tokens containing no line terminators.
+    The char-encoding regex ``(.)`` deliberately does not match \\n/\\r
+    (Java regex and the oracle's RE2 agree, so parity holds); a word
+    that somehow contained one would get that character fused onto the
+    preceding token at round 0 instead of standing alone.
     """
     spark: SparkSession = docs.sparkSession
 

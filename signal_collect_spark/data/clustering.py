@@ -152,7 +152,10 @@ def semantic_dedup(
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), key.alias("hk")
     )
-    j = assign.join(vecs, "id")
+    # materialized once: j feeds the max_cluster probe AND both sides of
+    # the within-cluster pair join — lazily chained it re-ran the
+    # assignment join three times
+    j = assign.join(vecs, "id").localCheckpoint(eager=True)
     if max_cluster is not None:
         biggest = j.groupBy("cluster").count().agg(F.max("count")).first()[0]
         if biggest is not None and biggest > max_cluster:

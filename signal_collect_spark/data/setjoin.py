@@ -36,10 +36,17 @@ def token_set_arrays(
     """DF[id, tokens: array<string>, n: int] — distinct whitespace
     tokens per document, packed in GLOBAL (df asc, token asc) order so
     a position-p prefix means the p globally rarest tokens."""
-    toks = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
+    # per-document dedup happens INSIDE the row (array_distinct in
+    # codegen) instead of a global (id, tok) distinct — that distinct
+    # was a full extra shuffle of the exploded token table for a
+    # strictly row-local property (guide §2.4)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            )
+        ).alias("tok"),
     )
     df_tab = toks.groupBy("tok").agg(F.count("*").alias("df"))
     ordered = (
@@ -75,6 +82,7 @@ def prefix_jaccard_pairs(
         # no-false-negative guarantee of the prefix filter.
         prefix = sets.select(
             "id",
+            "n",
             F.explode(
                 F.slice(
                     "tokens",
@@ -87,9 +95,23 @@ def prefix_jaccard_pairs(
                 )
             ).alias("tok"),
         )
+        # length filter (Bayardo/PPJoin): jaccard >= t implies
+        # min(na,nb) >= t * max(na,nb), so size-incompatible pairs are
+        # pruned INSIDE the candidate join before the distinct/verify.
+        # The 1e-6 slack only weakens pruning (never drops a true pair
+        # to double rounding); the verify step stays exact either way.
+        lf = (
+            (F.col("x.n").cast("double") >= F.lit(threshold) * F.col("y.n") - F.lit(1e-6))
+            & (F.col("y.n").cast("double") >= F.lit(threshold) * F.col("x.n") - F.lit(1e-6))
+        )
         cand = (
             prefix.alias("x")
-            .join(prefix.alias("y"), (F.col("x.tok") == F.col("y.tok")) & (F.col("x.id") < F.col("y.id")))
+            .join(
+                prefix.alias("y"),
+                (F.col("x.tok") == F.col("y.tok"))
+                & (F.col("x.id") < F.col("y.id"))
+                & lf,
+            )
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )

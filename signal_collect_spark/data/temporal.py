@@ -144,15 +144,25 @@ def interval_join(
         return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast("long")
 
     nb = ibucket(F.col(end_col) - 1) - ibucket(start_col) + 1
+    # reversed/empty intervals (end <= start) make nb <= 0, slipping
+    # past the span cap while F.sequence would generate a DESCENDING
+    # bucket list — a badly reversed interval explodes unboundedly
+    # before the exact re-check can drop it (r5 ADVICE). Reject both
+    # degenerate shapes in the same bounded probe.
     probe = (
-        intervals.filter(nb > max_buckets_per_interval).limit(1).collect()
+        intervals.filter(
+            (F.col(end_col) <= F.col(start_col)) | (nb > max_buckets_per_interval)
+        )
+        .limit(1)
+        .collect()
     )
     if probe:
         r = probe[0]
         raise ValueError(
-            f"interval [{r[start_col]}, {r[end_col]}) spans more than "
-            f"max_buckets_per_interval={max_buckets_per_interval} buckets "
-            f"of width {bucket_width}; raise bucket_width or the cap"
+            f"interval [{r[start_col]}, {r[end_col]}) is empty/reversed or "
+            f"spans more than max_buckets_per_interval="
+            f"{max_buckets_per_interval} buckets of width {bucket_width}; "
+            "fix the interval bounds or raise bucket_width/the cap"
         )
     b_iv = intervals.withColumn(
         "_bucket",

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iterative engines create thousands of short-lived shuffles,
+        # cached states and localCheckpoint blocks per session; the
+        # ContextCleaner only reclaims them when driver GC collects the
+        # weak references, and with a many-GB driver heap a full GC may
+        # not happen for the whole session (default periodicGC.interval
+        # is 30min) — measured as a monotonic 2x per-superstep slowdown
+        # across a multi-query session. A short periodic GC keeps
+        # MapOutputTracker/BlockManager bookkeeping bounded.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -53,6 +53,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -458,14 +459,28 @@ def run_supersteps(
 
         durable = ckpt is not None and (step + 1) % checkpoint_every == 0
         checking = durable or (step + 1) % check_every == 0 or step + 1 == max_steps
+        truncated = False
         if durable:
             new_state = ckpt.save(new_state, superstep=step + 1)
         elif (step + 1) % truncate_every == 0:
-            new_state = new_state.localCheckpoint(eager=False)
+            # SERIALIZED block storage: the deserialized default stores
+            # raw rows through DeserializedValuesHolder, whose
+            # SizeTracker re-walks the stored object graph with
+            # SizeEstimator reflection on every growth sample — jstack
+            # sampling showed it dominating task time on small per-step
+            # states. Serialized blocks track exact byte counts instead.
+            new_state = new_state.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            truncated = True
         # every superstep's state is persisted: each is referenced twice
         # by the next superstep (frontier + collect join) — without a
-        # cache the lazily-chained plan recomputes it exponentially
-        new_state = new_state.persist()
+        # cache the lazily-chained plan recomputes it exponentially.
+        # A just-checkpointed state needs NO extra cache: its blocks ARE
+        # materialized storage, so persisting it again would store every
+        # 4th state twice (checkpoint blocks + InMemoryRelation batches).
+        if not truncated:
+            new_state = new_state.persist()
         pending.append(state)
         state = new_state
         if not checking:
