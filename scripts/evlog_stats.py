@@ -32,8 +32,32 @@ def main() -> None:
                 return m
         return "__other__"
 
-    with open(path) as fh:
-        for line in fh:
+    import glob
+    import io
+    import os
+
+    if os.path.isdir(path):  # rolling event-log v2 directory
+        inner = sorted(glob.glob(os.path.join(path, "events_*")))
+        streams = []
+        for p in inner:
+            if p.endswith(".zstd"):
+                import subprocess
+
+                proc = subprocess.Popen(
+                    ["zstd", "-dc", p], stdout=subprocess.PIPE
+                )
+                streams.append(io.TextIOWrapper(proc.stdout))
+            else:
+                streams.append(open(p))
+    else:
+        streams = [open(path)]
+
+    def lines():
+        for fh in streams:
+            yield from fh
+
+    if True:
+        for line in lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:

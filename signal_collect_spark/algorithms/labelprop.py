@@ -79,6 +79,7 @@ def label_propagation(
         .persist()
     )
 
+    pending: list[DataFrame] = []
     for step in range(max_steps):
         ts = time.monotonic()
         msgs = state.hint("shuffle_hash").alias("s").join(
@@ -102,8 +103,11 @@ def label_propagation(
             F.col("vid").alias("id"), (-F.col("top.neg_label")).alias("label")
         ).repartition(P, "id")
         if (step + 1) % truncate_every == 0:
+            # checkpoint blocks ARE materialized storage — no extra
+            # persist on top (the engine's no-double-store rule)
             new_state = new_state.localCheckpoint(eager=False)
-        new_state = new_state.persist()
+        else:
+            new_state = new_state.persist()
 
         if run_to_convergence:
             changed = (
@@ -112,10 +116,13 @@ def label_propagation(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            state.unpersist()
         else:
-            new_state.count()
+            # fixed-round mode: rounds chain LAZILY — one materialization
+            # for the whole run (below) instead of a count job per round;
+            # old states stay registered until then
+            pending.append(state)
             changed = -1
-        state.unpersist()
         state = new_state
         info.supersteps = step + 1
         info.per_step.append(
@@ -129,6 +136,13 @@ def label_propagation(
             info.converged = True
             break
 
+    if not run_to_convergence:
+        # single materialization barrier for the lazily-chained rounds;
+        # must happen BEFORE e.unpersist() below
+        state.count()
+        for df in pending:
+            df.unpersist()
+        pending.clear()
     e.unpersist()
     info.wall_seconds = time.monotonic() - t0
     info.caches.append(state)

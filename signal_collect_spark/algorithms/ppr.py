@@ -142,7 +142,6 @@ def ppr_push(
     # rounds is the identity, not an error — the same amortization
     # contract as the superstep engine's check_every.
     rounds = 0
-    pending: list[DataFrame] = []
     for i in range(max_rounds):
         pushes = (
             state.filter(act)
@@ -164,38 +163,25 @@ def ppr_push(
                 + F.coalesce(F.col("inc"), F.lit(0.0))
             ).alias("r"),
         )
-        # rounds chain LAZILY between barriers (the superstep engine's
-        # check_every pattern): intermediate states are persisted (each
-        # feeds both sides of the next round, so an uncached chain would
-        # recompute exponentially), and only the barrier truncates the
-        # lineage + runs the one emptiness action per block — the r5
-        # shape ran one eager checkpoint JOB per round instead.
-        barrier = (i + 1) % truncate_every == 0 or i + 1 == max_rounds
-        if barrier:
-            # eager when no probe follows: the pending unpersists below
-            # are only safe once the block has actually materialized
-            new_state = new_state.localCheckpoint(
-                eager=not run_to_convergence,
-                storageLevel=StorageLevel.MEMORY_AND_DISK,
-            )
-        else:
-            new_state = new_state.persist()
-        pending.append(state)
-        state = new_state
+        # EAGER checkpoint per round — measured, not assumed: an r6
+        # attempt to chain rounds lazily between barriers (the engine's
+        # check_every pattern) ran 1.7x SLOWER in an interleaved
+        # same-JVM A/B (20.6-26.3s vs 13.1-14.7s at bench settings);
+        # with state feeding both the push set and the update join,
+        # the deep lazy block re-computes across its racing stages
+        # faster than the saved driver round-trips pay back. Serialized
+        # block storage (not the deserialized default) is kept — it
+        # avoids the SizeEstimator reflection walk on every store.
+        state = new_state.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         rounds += 1
-        if barrier:
-            empty = run_to_convergence and state.filter(act).isEmpty()
-            for df in pending:
-                df.unpersist()
-            pending.clear()
-            if empty:
-                info.converged = True
-                break
+        barrier = (i + 1) % truncate_every == 0 or i + 1 == max_rounds
+        if barrier and run_to_convergence and state.filter(act).isEmpty():
+            info.converged = True
+            break
     if not run_to_convergence:
         info.converged = state.filter(act).isEmpty()
-    for df in pending:
-        df.unpersist()
-    pending.clear()
 
     e.unpersist()
     info.supersteps = rounds

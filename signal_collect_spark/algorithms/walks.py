@@ -202,9 +202,13 @@ def random_walks(
                 F.lit(t).cast("int").alias("step"),
                 pick.alias("vertex"),
             )
-            .localCheckpoint(eager=True)
+            # intermediate hops chain lazily; the LAST hop materializes
+            # the whole chain (each trace RDD-persists on compute) so
+            # the adj.unpersist() below stays safe — one job for the
+            # walk instead of a checkpoint job + a count job per hop
+            .localCheckpoint(eager=t == walk_len)
         )
-        info.per_step.append({"step": t, "rows": stepped.count()})
+        info.per_step.append({"step": t})
         traces.append(stepped)
         cur = stepped
     out = traces[0]
@@ -356,7 +360,7 @@ def node2vec_walks(
                 )
                 .withColumnRenamed("new_vertex", "vertex")
                 .select("start_id", "walk", "step", "vertex", "prev")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=t == walk_len)
             )
         else:
             pa = adj.select(
@@ -425,8 +429,8 @@ def node2vec_walks(
                     "vertex"
                 ),
                 cur["vertex"].alias("prev"),
-            ).localCheckpoint(eager=True)
-        info.per_step.append({"step": t, "rows": stepped.count()})
+            ).localCheckpoint(eager=t == walk_len)
+        info.per_step.append({"step": t})
         traces.append(stepped.select("start_id", "walk", "step", "vertex"))
         cur = stepped
     out = traces[0]
