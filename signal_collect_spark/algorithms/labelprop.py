@@ -46,6 +46,12 @@ def label_propagation(
     fixed round count is the reproducible configuration;
     ≙ ExecutionConfiguration stepsLimit).
     """
+    # same lineage-truncation clamp as the superstep engine: task-binary
+    # deserialize + plan rendering cost grows ~2x per untruncated round
+    # (state feeds the message join AND the self-preference union), so
+    # every-2-rounds truncation beats longer intervals (engine A/B:
+    # interval 5 = 54s median, 2 = 42s, 1 = 48s on 100 supersteps)
+    truncate_every = min(truncate_every, 2)
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     info = ExecutionInfo()
     t0 = time.monotonic()

@@ -53,6 +53,20 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
         )
+        # Always use the sort-based (serialized/Unsafe) shuffle writer.
+        # Below this threshold Spark's bypass-merge writer opens one file
+        # PER REDUCE PARTITION per map task; at small partition counts
+        # that is the at-scale code path's opposite, and the event log
+        # showed it costing 26ms MEAN Shuffle Write Time per task on
+        # ~80KB writes. ABBA A/B across 4 JVMs (100-superstep PageRank,
+        # 2 runs each): default-200 = 42.3-51.3s, threshold-2 =
+        # 30.5-37.1s (-31%), bit-identical checksums. At production
+        # partition counts (> 200) the default disables bypass anyway,
+        # so this only aligns small-P local runs with the scale path.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "2"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
