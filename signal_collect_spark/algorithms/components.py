@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from signal_collect_spark import graph as G
-from signal_collect_spark.superstep import ExecutionInfo, Kernel, run_supersteps
+from signal_collect_spark.superstep import ExecutionInfo, Kernel, run_supersteps, loop_aqe_off
 
 
 def cc_kernel() -> Kernel:
@@ -124,6 +124,7 @@ def connected_components(
     return state.select("id", F.col("label").alias("component")), info
 
 
+@loop_aqe_off
 def connected_components_star(
     spark,
     edges: DataFrame,

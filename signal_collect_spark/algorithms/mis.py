@@ -42,9 +42,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from signal_collect_spark.data.hashing import hash_fn_column
-from signal_collect_spark.superstep import ExecutionInfo
+from signal_collect_spark.superstep import ExecutionInfo, loop_aqe_off
 
 
+@loop_aqe_off
 def maximal_independent_set(
     spark,
     edges: DataFrame,

@@ -49,9 +49,10 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from signal_collect_spark.superstep import ExecutionInfo
+from signal_collect_spark.superstep import ExecutionInfo, loop_aqe_off
 
 
+@loop_aqe_off
 def ppr_push(
     spark,
     edges: DataFrame,

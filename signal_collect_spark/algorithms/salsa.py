@@ -42,9 +42,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from signal_collect_spark import graph as G
-from signal_collect_spark.superstep import ExecutionInfo
+from signal_collect_spark.superstep import ExecutionInfo, loop_aqe_off
 
 
+@loop_aqe_off
 def salsa(
     spark,
     edges: DataFrame,

@@ -37,12 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from signal_collect_spark.data.hashing import hash_fn_column
-from signal_collect_spark.superstep import ExecutionInfo
+from signal_collect_spark.superstep import ExecutionInfo, loop_aqe_off
 
 
 FRAC_MOD = 1 << 40  # 40-bit hash fraction: exact double, both engines
 
 
+@loop_aqe_off
 def random_walks(
     spark,
     edges: DataFrame,
@@ -220,6 +221,7 @@ def random_walks(
     return out, info
 
 
+@loop_aqe_off
 def node2vec_walks(
     spark,
     edges: DataFrame,

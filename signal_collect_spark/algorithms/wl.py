@@ -28,9 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from signal_collect_spark.superstep import ExecutionInfo
+from signal_collect_spark.superstep import ExecutionInfo, loop_aqe_off
 
 
+@loop_aqe_off
 def wl_colors(
     spark,
     edges: DataFrame,

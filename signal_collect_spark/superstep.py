@@ -161,7 +161,75 @@ def _agg_spec(kernel: "Kernel") -> list[tuple[str, str]]:
     return [("inbox", kernel.agg)] if isinstance(kernel.agg, str) else list(kernel.agg)
 
 
+class _loop_aqe_off:
+    """Scoped AQE disable for plan-pinned iterative loops.
+
+    The loop pins everything AQE would decide at runtime — partition
+    counts (explicit repartition + 'auto' data-size rule), join strategy
+    (shuffle_hash hints), skew (hub salting) — so AQE's contribution per
+    superstep is pure overhead: one driver-blocking job per query stage,
+    a replan + plan-description event per stage completion. With lineage
+    truncated every 2 steps (shallow plans), same-JVM interleaved A/B on
+    the 100-superstep bench PageRank, 2 reps: AQE on = 41.6/32.5s, AQE
+    off = 30.1/29.0s (-20%), bit-identical checksums. (With DEEP plans
+    the ranking flips hard — AQE-off at interval 4 was 88.8/88.7s — so
+    this scoping is only safe together with the truncation clamp above.)
+    Scoped + restored so non-loop queries keep AQE's runtime replanning
+    (broadcast conversion, coalescing, skew splits) everywhere else.
+    """
+
+    def __init__(self, spark):
+        self._conf = spark.conf
+        self._prev = None
+
+    def __enter__(self):
+        import os
+
+        if os.environ.get("SPARK_GRAFT_LOOP_AQE", "") != "on":
+            self._prev = self._conf.get("spark.sql.adaptive.enabled", "true")
+            self._conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            self._conf.set("spark.sql.adaptive.enabled", self._prev)
+        return False
+
+
+def loop_aqe_off(fn):
+    """Decorator form of :class:`_loop_aqe_off` for the non-engine
+    iterative operators (salsa/MIS/push-PPR/WL/star-CC/...): their
+    driver loops pin partitioning and truncate lineage per round, so
+    AQE's per-stage jobs are pure per-round overhead. Interleaved
+    same-JVM A/B at sf0.1, AQE on -> off, outputs identical: salsa
+    7.6/8.0 -> 6.8/7.8s, mis 5.9/6.2 -> 5.6/5.3s, ppr_push 19.9/18.1
+    -> 14.4/14.9s, wl_colors 4.9/4.6 -> 3.2/2.7s. First argument must
+    be the SparkSession (all loop operators follow that convention)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, *a, **k):
+        with _loop_aqe_off(spark):
+            return fn(spark, *a, **k)
+
+    return wrapper
+
+
 def run_supersteps(
+    spark,
+    edges: DataFrame,
+    vertices: DataFrame,
+    kernel: Kernel,
+    **opts,
+) -> tuple[DataFrame, ExecutionInfo]:
+    """Public entry: the superstep loop under scoped AQE-off (see
+    :class:`_loop_aqe_off`); all options forwarded to the impl, whose
+    docstring below is the full contract."""
+    with _loop_aqe_off(spark):
+        return _run_supersteps_impl(spark, edges, vertices, kernel, **opts)
+
+
+def _run_supersteps_impl(
     spark,
     edges: DataFrame,
     vertices: DataFrame,
