@@ -49,10 +49,14 @@ def label_propagation(
     """
     # same lineage-truncation clamp as the superstep engine: task-binary
     # deserialize + plan rendering cost grows ~2x per untruncated round
-    # (state feeds the message join AND the self-preference union), so
-    # every-2-rounds truncation beats longer intervals (engine A/B:
-    # interval 5 = 54s median, 2 = 42s, 1 = 48s on 100 supersteps)
-    truncate_every = min(truncate_every, 2)
+    # (state feeds the message join AND the self-preference union); with
+    # the loop AQE-off the per-round checkpoint compile is cheap enough
+    # that per-round truncation wins (engine ladder: interval 5 = 54s
+    # median, 2 = 42s AQE-on; interval 1 = 24.3s vs 2 = 29.0/33.7s
+    # AQE-off on 100 supersteps)
+    import os as _os
+    _t_env = _os.environ.get("SPARK_GRAFT_TRUNC")
+    truncate_every = int(_t_env) if _t_env else 1
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     info = ExecutionInfo()
     t0 = time.monotonic()

@@ -320,21 +320,25 @@ def _run_supersteps_impl(
     kernels are exact, float kernels are tested to 1e-9 against the
     undieted plan.
     """
-    # Lineage truncation is clamped to every 2 supersteps regardless of
-    # the caller's truncate_every: the barrier action's cost is dominated
-    # by the size of the plan/RDD graph it renders, analyzes and ships in
-    # every task binary, and that size grows ~2x per untruncated superstep
-    # (state feeds both the frontier and the collect join). Interleaved
-    # same-JVM A/B at sf0.1 (100-superstep PageRank, 2 reps each):
-    # interval 5 = 57.2/51.1s, interval 2 = 38.5/44.8s (-22%), interval 1
-    # = 46.4/49.3s (per-step checkpoint pays more materialization than it
-    # saves). Results are bit-identical (same sum_rank checksum). The
+    # Lineage is truncated EVERY superstep regardless of the caller's
+    # truncate_every: the barrier action's cost is dominated by the size
+    # of the plan/RDD graph it renders, analyzes and ships in every task
+    # binary, and that size grows ~2x per untruncated superstep (state
+    # feeds both the frontier and the collect join). Measured ladder on
+    # the 100-superstep bench PageRank: interval 5 = 57.2/51.1s,
+    # interval 2 = 38.5/44.8s (same-JVM interleaved A/B, AQE on); after
+    # the loop went AQE-off (see _loop_aqe_off) the per-step checkpoint
+    # compile got cheap enough that interval 1 wins the ABAB across
+    # fresh JVMs: 24.3/24.3s vs 29.0/33.7s for interval 2 (-18%), and
+    # connected_components 4.4/3.9 vs 4.6/5.7, temporal_bfs 4.5/4.8 vs
+    # 5.3/5.8. Results are bit-identical (same sum_rank checksum). The
     # event log pins the mechanism: 45ms MEAN task-deserialize time and
-    # 3/4 driver jstack samples inside TreeNode.generateTreeString at
-    # interval 5.
+    # 3/4 driver jstack samples inside TreeNode.generateTreeString with
+    # deep plans; per-step truncation also removes the odd-step persist
+    # entirely (a checkpointed state IS materialized storage).
     import os as _os
     _t_env = _os.environ.get("SPARK_GRAFT_TRUNC")  # measurement escape hatch
-    truncate_every = int(_t_env) if _t_env else min(truncate_every, 2)
+    truncate_every = int(_t_env) if _t_env else 1
     spec = _agg_spec(kernel)
     if kernel.value_dtype == "long" and kernel.edge_combine != "value":
         raise ValueError("value_dtype='long' requires edge_combine='value' (no weight math)")
@@ -455,6 +459,16 @@ def _run_supersteps_impl(
 
     agg_fn = _AGGS[spec[0][1]]
     pending: list[DataFrame] = []
+    # barrier pipelining (see the barrier block below): off when durable
+    # checkpointing is active — ckpt.save() runs its own write jobs
+    # in-line and resume bookkeeping assumes strictly ordered barriers
+    if ckpt is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        barrier_pool = ThreadPoolExecutor(max_workers=1)
+    else:
+        barrier_pool = None
+    inflight = None
     # the frontier id stays LONG — it must inherit state's hash(id)
     # partitioning untouched for the exchange-free signal join; only the
     # PAYLOAD narrows (value_is_id kernels emit int32 values)
@@ -572,36 +586,67 @@ def _run_supersteps_impl(
             info.supersteps = step + 1
             continue
 
-        # single action per barrier: convergence + metrics
-        m = state.agg(
+        # single action per barrier: convergence + metrics. With
+        # barrier_pool set (no durable checkpointing in play), the
+        # action runs on a worker thread while THIS thread keeps
+        # compiling the next block of supersteps — profiling split the
+        # loop ~10.6s barrier execution vs ~9s driver-side Catalyst
+        # compile at sf0.1 with the executors idle during compile, so
+        # pipelining hides one under the other (guide §2.6: actions are
+        # only sequential because the driver calls them sequentially).
+        # Pipeline depth is 1 block: the previous barrier must resolve
+        # before the next is submitted, so convergence/time-limit
+        # decisions see exactly the same states in the same order as
+        # the synchronous loop; on stop, the speculatively COMPILED
+        # (never executed) block is discarded and the barrier's own
+        # state is returned — results identical.
+        bar = state.agg(
             F.max("residual").alias("max_res"),
             F.sum((F.col("residual") > F.lit(signal_threshold)).cast("long")).alias(
                 "frontier"
             ),
             F.count("*").alias("n"),
-        ).first()
-        for df in pending:
-            df.unpersist()
-        pending.clear()
-        info.supersteps = step + 1
-        info.per_step.append(
-            {
-                "superstep": step + 1,
-                "max_residual": m["max_res"],
-                "frontier_size": m["frontier"],
-                "vertices": m["n"],
-                "wall_ms": (time.monotonic() - ts) * 1000.0,
-                "checkpointed": durable,
-            }
         )
-        if m["max_res"] is None or m["max_res"] <= converge_tol:
-            info.converged = True
-            info.stop_reason = "converged"
-            break
-        if time_limit is not None and time.monotonic() - t0 >= time_limit:
-            info.stop_reason = "time_limit"
-            break
+        if barrier_pool is None:
+            m = bar.first()
+            stop, bstate = _process_barrier(
+                info, m, step + 1, state, pending, ts, durable,
+                signal_threshold=signal_threshold, converge_tol=converge_tol,
+                time_limit=time_limit, t0=t0,
+            )
+            pending = []
+            if stop:
+                break
+        else:
+            if inflight is not None:
+                fut, bstep, bstate0, bpending, bts, bdur = inflight
+                inflight = None
+                m = fut.result()
+                stop, bstate = _process_barrier(
+                    info, m, bstep, bstate0, bpending, bts, bdur,
+                    signal_threshold=signal_threshold, converge_tol=converge_tol,
+                    time_limit=time_limit, t0=t0,
+                )
+                if stop:
+                    state = bstate
+                    break
+            snapshot, pending = pending, []
+            inflight = (
+                barrier_pool.submit(bar.first), step + 1, state, snapshot, ts, durable,
+            )
 
+    if inflight is not None:
+        fut, bstep, bstate0, bpending, bts, bdur = inflight
+        m = fut.result()
+        stop, bstate = _process_barrier(
+            info, m, bstep, bstate0, bpending, bts, bdur,
+            signal_threshold=signal_threshold, converge_tol=converge_tol,
+            time_limit=time_limit, t0=t0,
+        )
+        if stop:
+            state = bstate
+    if barrier_pool is not None:
+        barrier_pool.shutdown(wait=True)
     for df in pending:
         df.unpersist()
     pending.clear()
@@ -613,6 +658,49 @@ def _run_supersteps_impl(
     info.wall_seconds = time.monotonic() - t0
     info.caches.append(state)
     return state, info
+
+
+def _process_barrier(
+    info: ExecutionInfo,
+    m,
+    bstep: int,
+    bstate: DataFrame,
+    bpending: list,
+    ts: float,
+    durable: bool,
+    *,
+    signal_threshold: float,
+    converge_tol: float,
+    time_limit: float | None,
+    t0: float,
+) -> tuple[bool, DataFrame]:
+    """Record one resolved convergence barrier; returns (stop, barrier
+    state). Factored out so the synchronous and pipelined paths share
+    the exact decision logic (same inputs → same stop/metrics)."""
+    for df in bpending:
+        df.unpersist()
+    bpending.clear()
+    info.per_step.append(
+        {
+            "superstep": bstep,
+            "max_residual": m["max_res"],
+            "frontier_size": m["frontier"],
+            "vertices": m["n"],
+            "wall_ms": (time.monotonic() - ts) * 1000.0,
+            "checkpointed": durable,
+        }
+    )
+    if m["max_res"] is None or m["max_res"] <= converge_tol:
+        info.supersteps = bstep
+        info.converged = True
+        info.stop_reason = "converged"
+        return True, bstate
+    if time_limit is not None and time.monotonic() - t0 >= time_limit:
+        info.supersteps = bstep
+        info.stop_reason = "time_limit"
+        return True, bstate
+    info.supersteps = max(info.supersteps, bstep)
+    return False, bstate
 
 
 def recalculate_scores(state: DataFrame, kernel: Kernel) -> DataFrame:
