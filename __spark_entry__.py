@@ -4388,7 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions slotted inside the top-50 window (brand-new code gets
     # the hard signal first); the displaced parity-green entries sit at
     # 51-57, and the 50 queries with CORRECTNESS_r04 green rows follow.
-    return {
+    d = {
         # --- never driver-checked (web_crawl/sessions/embedding_neardup
         # were r3-green but displaced by r4 insertions) ----------------
         "web_crawl": _q_web_crawl,
@@ -4528,6 +4528,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frame_sample,
         "sudoku_solve": _q_sudoku,
         "hamiltonian_paths": _q_hamiltonian,
+    }
+    # Round-6 rotation of the driver's ~50-entry check window (r5
+    # verdict #1/#2): the 27 registry entries that have never earned a
+    # driver row lead; the two r5 driver FAILURES (pack_sequences /
+    # mix_corpus — RANGE-vs-ROWS frame bug, fixed with pinned ROWS
+    # frames + adversarial duplicate-id tests) stay INSIDE the window
+    # so the fix gets its hard green row; the remaining slots re-check
+    # the core §2 queries after this round's engine changes (AQE-off
+    # loops, per-step truncation, pipelined barriers). Query bodies and
+    # oracle SQL are unchanged — this reorders dict keys only.
+    window = [
+        # never driver-checked (r1-r5 union vs registry)
+        "codegraph_sha256", "codegraph_packages", "temporal_reachability",
+        "wl_colors", "rich_club", "degree_distribution", "graph_stats",
+        "eigencentrality", "linkpred_jaccard", "assortativity",
+        "reciprocity", "bm25_topk", "bigram_xent", "chunk_documents",
+        "closeness_topk", "effective_diameter", "ppr_push",
+        "codegraph_cycles", "crawl_frontier", "pagerank_weighted",
+        "bond_percolation", "interval_join", "graph_coarsen",
+        "token_zipf", "bpe_train", "heavy_hitters", "spectral_bisection",
+        # r5 driver failures, now fixed — must re-earn green in-window
+        "pack_sequences", "mix_corpus",
+        # core §2 queries re-checked after this round's engine changes
+        "pagerank", "pagerank_csr", "pagerank_topk",
+        "pagerank_personalized", "pagerank_gated", "sum_of_ranks",
+        "connected_components", "connected_components_csr",
+        "connected_components_star", "label_propagation", "sssp_hops",
+        "sssp_weighted", "triangle_count", "clustering_coefficient",
+        "minhash_lsh_candidates", "exact_dedup", "company_valuation",
+        "game_of_life", "schelling", "sudoku_solve", "hamiltonian_paths",
+    ]
+    assert len(window) == 50 and set(window) <= set(d)
+    return {k: d[k] for k in window} | {
+        k: v for k, v in d.items() if k not in window
     }
 
 

@@ -47,6 +47,46 @@ def _dist_expr(vec_col, centroid: list[float]):
     )
 
 
+def _assign(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(id, vec, cluster) — nearest centroid per vector, lowest index on
+    exact ties.
+
+    Physical shape: broadcast the (k x dim) centroid TABLE and take a
+    keyed min over the k per-pair distances, instead of one giant
+    expression with k*dim literals baked in. The literal form rebuilt
+    and re-analyzed a ~k*dim-node tree EVERY Lloyd iteration (new
+    centroid constants each time -> zero plan reuse), which profiling
+    put at most of kmeans' wall. Math is unchanged: the squared-L2 fold
+    is the same zip_with/aggregate left fold (now over two array
+    COLUMNS), and min(struct(dist, cidx)) picks the smallest distance
+    with ties to the lowest index — exactly array_position(array_min)
+    on the literal vector. Distances are float64-identical, so
+    assignments (and the SQL-oracle replay) are bit-identical.
+    """
+    spark = base.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cidx int, cent array<double>",
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("vec"), F.col("cent"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(cent_df))
+        .groupBy("id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cidx").alias("cidx"))).alias("__m"),
+            F.first("vec").alias("vec"),
+        )
+        .select("id", "vec", F.col("__m.cidx").alias("cluster"))
+    )
+
+
 def kmeans(
     corpus: DataFrame,
     k: int = 4,
@@ -83,9 +123,7 @@ def kmeans(
 
         assigned = None
         for _ in range(iters):
-            dists = F.array(*[_dist_expr(F.col("vec"), c) for c in cents])
-            cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-            assigned = base.select("id", "vec", cluster.alias("cluster"))
+            assigned = _assign(base, cents)
             means = (
                 assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
                 .groupBy("cluster", "pos")
@@ -100,9 +138,7 @@ def kmeans(
                 new_cents[r["cluster"]] = [float(x) for x in r["c"]]
             cents = new_cents
         # final assignment against the post-update centroids
-        dists = F.array(*[_dist_expr(F.col("vec"), c) for c in cents])
-        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        out = base.select("id", cluster.alias("cluster"))
+        out = _assign(base, cents).select("id", "cluster")
         out = out.localCheckpoint(eager=True)
         return out
     finally:
