@@ -629,6 +629,10 @@ def _run_supersteps_impl(
                 )
                 if stop:
                     state = bstate
+                    # the speculative block appended bstate (and its
+                    # successors) to pending; the final cleanup must not
+                    # unpersist the state we are RETURNING
+                    pending = [df for df in pending if df is not bstate]
                     break
             snapshot, pending = pending, []
             inflight = (

@@ -67,10 +67,13 @@ def test_compact_ids_auto_falls_back_on_big_ids(spark):
     info.release()
 
 
-def test_compact_ids_prunes_and_downcasts_edge_cache(spark):
+def test_compact_ids_prunes_and_downcasts_edge_cache(spark, monkeypatch):
     """The persisted edge cache must hold exactly (src int, dst int) for
     a value-combine kernel under the diet — the measured bytes/edge
-    lever. Asserted via the InMemoryRelation schema in the final plan."""
+    lever. Asserted via the InMemoryRelation schema in the final plan;
+    per-step lineage truncation (the r6 default) is disabled via the
+    measurement hatch so the cache stays visible from the final state."""
+    monkeypatch.setenv("SPARK_GRAFT_TRUNC", "1000000000")
     edges = G.edges_from_pairs(spark, [(1, 2), (2, 3), (3, 1)])
     comp, info = connected_components(spark, edges, compact_ids=True, hub_threshold=None)
     plan = comp._jdf.queryExecution().executedPlan().toString()
@@ -87,9 +90,11 @@ def test_compact_ids_prunes_and_downcasts_edge_cache(spark):
     info.release()
 
 
-def test_pagerank_cache_drops_raw_weight(spark):
+def test_pagerank_cache_drops_raw_weight(spark, monkeypatch):
     """PageRank's kernel reads norm_weight only; the raw weight column
-    must not ride the per-superstep edge cache."""
+    must not ride the per-superstep edge cache. Truncation disabled via
+    the hatch so the cache is visible from the final state's plan."""
+    monkeypatch.setenv("SPARK_GRAFT_TRUNC", "1000000000")
     edges = G.edges_from_pairs(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
     state, info = pagerank(spark, edges, max_steps=3, converge_tol=0.0)
     plan = state._jdf.queryExecution().executedPlan().toString()
