@@ -43,15 +43,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # ContextCleaner periodic GC stays at Spark's default (30min):
-        # an interleaved A/B (4 runs each way) measured a 90s interval
-        # ~11% SLOWER on the superstep loop — the forced full GCs cost
-        # more than the bookkeeping they reclaim at bench scale. The
-        # env hook below remains for long-lived production sessions
-        # where block/shuffle registry growth dominates instead.
+        # ContextCleaner periodic GC every 120s (re-measured this round;
+        # an earlier 90s A/B under the old engine was ~11% slower, but
+        # per-step lineage truncation multiplied the checkpoint blocks
+        # whose cleanup waits on a JVM GC, and a 24g heap GCs too rarely
+        # on its own). Full-bench ABAB, 3-repeat medians: 120s arms
+        # 114.4/120.5s vs default arms 121.0/123.3s — every GC run beat
+        # every default run, and the per-query repeat spread collapses
+        # toward the per-query minima (connected_components 4.9-7.4 ->
+        # 4.8-5.9, label_propagation 3.8-6.2 -> 3.9-5.0): the cleaner's
+        # weak-ref bookkeeping is what degraded repeats 2-3. Env hook
+        # kept for hosts where forced GC pauses cost more.
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "120s"),
         )
         # Always use the sort-based (serialized/Unsafe) shuffle writer.
         # Below this threshold Spark's bypass-merge writer opens one file
